@@ -1,38 +1,851 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is a libpysal operator (SURVEY.md §2) or a
+training-data-pipeline operator re-expressed Spark-first; ``oracle_sql()``
+holds an *independent* ANSI-SQL derivation of the same semantics for DuckDB.
+
+Portability rules shared by both sides (see libpysal_spark.pages /
+functions.kernels):
+- geocoding & tiling are pure modular arithmetic (bit-identical doubles);
+- distances use mul/add/sqrt only (IEEE correctly-rounded → identical);
+- hashes are md5-hex-prefix → bigint (identical algorithm both engines);
+- every non-exact float output column is round(x, 6) on both sides;
+- DuckDB numeric literals are cast to DOUBLE/BIGINT explicitly (DuckDB
+  defaults to DECIMAL/INT128, which would break schema comparison).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from libpysal_spark.functions.detagg import (
+    det_sum_sql,
+    portable_round,
+    portable_round_sql,
+)
+from libpysal_spark.functions.kernels import kernel_sql, kernel_expr
+from libpysal_spark.graph import Graph
+from libpysal_spark.operators.contiguity import block_weights, queen, rook
+from libpysal_spark.operators.distance import distance_band, kernel_weights, knn
+from libpysal_spark.operators.pip import pip_join
+from libpysal_spark.operators.triangulation import gabriel, relative_neighborhood
+from libpysal_spark.operators.lattice import lattice_polygons
+from libpysal_spark.pages import geocode_exprs, geocode_sql, pages
+from libpysal_spark.text import dedup as D
+from libpysal_spark.text import quality as Q
+from libpysal_spark.text.ann import cosine_topk
+
+# ----------------------------------------------------------------------------
+# tuning constants (shared between spark queries and oracle SQL)
+BAND_T = 12.0          # distance-band threshold on orders points
+KERNEL_BW = 15.0       # kernel bandwidth on orders points
+CUST_BAND_T = 20.0     # band threshold on customer points (has isolates)
+KNN_K = 5
+PIP_CELL = 4.0
+
+KEYS = {"orders": "o_orderkey", "customer": "c_custkey", "supplier": "s_suppkey"}
 
 
+# ----------------------------------------------------------------------------
+# spark-side input helpers
+def _points(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = KEYS[table]
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    x, y = geocode_exprs(key)
+    return df.select(F.col(key).alias("id"), x.alias("x"), y.alias("y"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lattice_positions(spark: SparkSession, sf_dir: str):
+    """Customer-keyed ragged lattice positions (id, gx, gy) + side length."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    side = int(n ** 0.5)
+    w = Window.orderBy("id")
+    pos = cust.select(F.col("c_custkey").alias("id")).withColumn(
+        "p", F.row_number().over(w) - 1
+    )
+    return (
+        pos.select(
+            "id", (F.col("p") % side).alias("gx"), F.floor(F.col("p") / side).alias("gy")
+        ),
+        side,
+    )
+
+
+def _edges_out(g: Graph, round_w: int | None = None) -> DataFrame:
+    e = g.sorted()
+    if round_w is not None:
+        e = e.select("focal", "neighbor", F.round("weight", round_w).alias("weight"))
+    return e
+
+
+# ----------------------------------------------------------------------------
+# oracle SQL fragments
+def _pts_sql(table: str) -> str:
+    key = KEYS[table]
+    xs, ys = geocode_sql(key)
+    return f"SELECT {key} AS id, {xs} AS x, {ys} AS y FROM {table}"
+
+
+def _band_cte(table: str, t: float) -> str:
+    return f"""
+pts AS ({_pts_sql(table)}),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND abs(a.x-b.x) <= {t} AND abs(a.y-b.y) <= {t}
+   AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {t}
+)"""
+
+
+def _iso_sql(weight_expr: str = "CAST(1.0 AS DOUBLE)", edge_tbl: str = "e") -> str:
+    return f"""
+SELECT focal, neighbor, {weight_expr} AS weight FROM {edge_tbl}
+UNION ALL
+SELECT id AS focal, id AS neighbor, CAST(0.0 AS DOUBLE) AS weight
+FROM pts WHERE id NOT IN (SELECT focal FROM {edge_tbl})
+ORDER BY focal, neighbor"""
+
+
+def _knn_cte(table: str, k: int) -> str:
+    return f"""
+pts AS ({_pts_sql(table)}),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+e AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor,
+           row_number() OVER (PARTITION BY focal ORDER BY dist ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {k}
+)"""
+
+
+def _lattice_cte() -> str:
+    return """
+pos AS (SELECT c_custkey AS id,
+               row_number() OVER (ORDER BY c_custkey) - 1 AS p
+        FROM customer),
+s AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS side FROM customer),
+xy AS (SELECT id, p % side AS gx, p // side AS gy FROM pos, s)"""
+
+
+def _lattice_edges(criterion: str) -> str:
+    if criterion == "queen":
+        cond = "abs(a.gx-b.gx) <= 1 AND abs(a.gy-b.gy) <= 1 AND a.id <> b.id"
+    else:  # rook
+        cond = "abs(a.gx-b.gx) + abs(a.gy-b.gy) = 1"
+    return f"e AS (SELECT a.id AS focal, b.id AS neighbor FROM xy a JOIN xy b ON {cond})"
+
+
+MINHASH_H = 16
+MINHASH_BANDS = 4
+
+
+def _shingle_cte(doc_filter: str = "") -> str:
+    """Distinct 3-word shingles per doc (matches dedup.word_shingles)."""
+    return f"""
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents {doc_filter}),
+sh AS (SELECT DISTINCT doc_id, sh FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks))"""
+
+
+# ----------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocode pages → distance-band weights → row-standardize →
+    spatial lag of document length. Exercises the three load-bearing
+    shuffles: the tiling join, the transform window, the SpMV aggregate."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points(spark, sf_dir, "orders")
+    g = distance_band(pts, BAND_T).transform("R")
+    y = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("y")
+    )
+    return (
+        g.lag(y, deterministic=True)
+        .select("id", portable_round("lag", 4).alias("lag"))
+        .orderBy("id")
+    )
 
 
+# ----------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- distance family (SURVEY §2.2) ---
+    q["distance_band"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T)
+    )
+    q["distance_band_idw"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T, binary=False, alpha=-1.0), 6
+    )
+    for _k in ["triangular", "parabolic", "gaussian", "bisquare", "tricube", "cosine", "exponential", "boxcar"]:
+        q[f"kernel_{_k}"] = (
+            lambda s, d, _k=_k: _edges_out(
+                kernel_weights(_points(s, d, "orders"), KERNEL_BW, kernel=_k), 6
+            )
+        )
+    q["knn"] = lambda s, d: _edges_out(knn(_points(s, d, "customer"), KNN_K))
+    q["knn_symmetrize"] = lambda s, d: _edges_out(
+        knn(_points(s, d, "customer"), KNN_K).symmetrize("max")
+    )
+
+    # --- contiguity (SURVEY §2.2) ---
+    def _queen(s, d):
+        pos, _ = _lattice_positions(s, d)
+        return _edges_out(queen(lattice_polygons(s, pos)))
+
+    def _rook(s, d):
+        pos, _ = _lattice_positions(s, d)
+        return _edges_out(rook(lattice_polygons(s, pos)))
+
+    q["queen"] = _queen
+    q["rook"] = _rook
+    q["block_weights"] = lambda s, d: _edges_out(
+        block_weights(
+            s.read.parquet(f"{d}/supplier.parquet").select(
+                F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("regime")
+            )
+        )
+    )
+
+    # --- triangulation family (SURVEY §2.2) ---
+    q["gabriel"] = lambda s, d: _edges_out(gabriel(_points(s, d, "supplier")))
+    q["relative_neighborhood"] = lambda s, d: _edges_out(
+        relative_neighborhood(_points(s, d, "supplier"))
+    )
+
+    # --- transforms (SURVEY §2.3) ---
+    q["transform_r"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T).transform("R"), 6
+    )
+    q["transform_d"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T).transform("D"), 9
+    )
+
+    # --- set ops / algebra (SURVEY §2.4) ---
+    def _two_graphs(s, d):
+        pts = _points(s, d, "customer")
+        return distance_band(pts, CUST_BAND_T), knn(pts, KNN_K)
+
+    q["set_union"] = lambda s, d: _edges_out((lambda a, b: a.union(b))(*_two_graphs(s, d)))
+    q["set_intersection"] = lambda s, d: _edges_out(
+        (lambda a, b: a.intersection(b))(*_two_graphs(s, d))
+    )
+    q["set_difference"] = lambda s, d: _edges_out(
+        (lambda a, b: a.difference(b))(*_two_graphs(s, d))
+    )
+    q["set_symmetric_difference"] = lambda s, d: _edges_out(
+        (lambda a, b: a.symmetric_difference(b))(*_two_graphs(s, d))
+    )
+
+    def _higher(s, d):
+        pos, _ = _lattice_positions(s, d)
+        return _edges_out(queen(lattice_polygons(s, pos)).higher_order(2))
+
+    q["higher_order_2"] = _higher
+
+    def _subgraph(s, d):
+        pts = _points(s, d, "orders")
+        g = distance_band(pts, BAND_T)
+        ids = pts.select("id").filter(F.col("id") % 5 == 0)
+        return _edges_out(g.subgraph(ids))
+
+    q["subgraph"] = _subgraph
+    q["assign_self_weight"] = lambda s, d: _edges_out(
+        knn(_points(s, d, "supplier"), 3).assign_self_weight(1.0)
+    )
+    q["asymmetry"] = lambda s, d: knn(_points(s, d, "customer"), KNN_K).asymmetry().orderBy(
+        "focal", "neighbor"
+    )
+
+    # --- analytics (SURVEY §2.5) ---
+    def _lag(s, d):
+        g = distance_band(_points(s, d, "orders"), BAND_T).transform("R")
+        y = s.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("y")
+        )
+        return (
+            g.lag(y, deterministic=True)
+            .select("id", portable_round("lag", 4).alias("lag"))
+            .orderBy("id")
+        )
+
+    q["lag_spatial"] = _lag
+
+    def _lag_cat(s, d):
+        g = distance_band(_points(s, d, "orders"), BAND_T)
+        y = s.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("y")
+        )
+        return g.lag_categorical(y).orderBy("id")
+
+    q["lag_categorical"] = _lag_cat
+
+    def _describe(s, d):
+        g = distance_band(_points(s, d, "orders"), BAND_T)
+        y = s.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("y")
+        )
+        out = g.describe(y, deterministic=True)
+        return out.select(
+            "id",
+            F.col("count").cast("long").alias("count"),
+            portable_round("mean", 4).alias("mean"),
+            portable_round("std", 4).alias("std"),
+            F.round("min", 4).alias("min"),
+            F.round("max", 4).alias("max"),
+            portable_round("sum", 2).alias("sum"),
+            F.col("nunique").cast("long").alias("nunique"),
+        ).orderBy("id")
+
+    q["describe"] = _describe
+    q["cardinalities"] = lambda s, d: distance_band(
+        _points(s, d, "orders"), BAND_T
+    ).cardinalities().orderBy("id")
+
+    def _summary(s, d):
+        out = distance_band(_points(s, d, "orders"), BAND_T).summary()
+        return out.select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round("s0", 4).alias("s0"),
+            F.round("s1", 4).alias("s1"),
+            F.round("s2", 4).alias("s2"),
+        )
+
+    q["summary_stats"] = _summary
+
+    # --- PIP join (north_star): squares of size 10 at (gx*30, gy*30) ---
+    def _pip2(s, d):
+        pos, _ = _lattice_positions(s, d)
+        sq = pos.select(
+            "id", (F.col("gx") * 30).cast("double").alias("x0"), (F.col("gy") * 30).cast("double").alias("y0")
+        )
+        polys = sq.select(
+            "id",
+            F.array(
+                F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+                F.struct((F.col("x0") + 10).alias("x"), F.col("y0").alias("y")),
+                F.struct((F.col("x0") + 10).alias("x"), (F.col("y0") + 10).alias("y")),
+                F.struct(F.col("x0").alias("x"), (F.col("y0") + 10).alias("y")),
+                F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+            ).alias("vertices"),
+        )
+        pts = _points(s, d, "orders")
+        return pip_join(pts, polys, PIP_CELL).orderBy("point_id", "polygon_id")
+
+    q["pip_join"] = _pip2
+
+    # --- corpus / pages (input_hint invariant) ---
+    def _pages(s, d):
+        p = pages(s, d)
+        return p.select("url", "text", "lang").orderBy("url")
+
+    q["pages_text_invariant"] = _pages
+
+    def _tiles(s, d):
+        p = pages(s, d)
+        x, y = geocode_exprs("doc_id")
+        from libpysal_spark.tiling import pack_cell
+
+        p = p.withColumn("x", x).withColumn("y", y)
+        return p.select(
+            "url",
+            pack_cell(F.floor(F.col("x") / 100.0), F.floor(F.col("y") / 100.0)).alias("tile_r0"),
+            pack_cell(F.floor(F.col("x") / 10.0), F.floor(F.col("y") / 10.0)).alias("tile_r1"),
+        ).orderBy("url")
+
+    q["pages_tiles"] = _tiles
+
+    # --- dedup / text-analysis (training-data ops) ---
+    q["dedup_exact"] = lambda s, d: D.exact_duplicates(_docs(s, d)).orderBy("content_hash")
+    q["minhash_lsh_pairs"] = lambda s, d: D.minhash_candidates(
+        _docs(s, d), num_hashes=MINHASH_H, bands=MINHASH_BANDS
+    ).orderBy("doc_a", "doc_b")
+    q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard(
+        _docs(s, d).filter(F.col("doc_id") < 100), threshold=0.1
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")).orderBy("doc_a", "doc_b")
+    q["simhash"] = lambda s, d: D.simhash(_docs(s, d)).orderBy("doc_id")
+    q["simhash_near_pairs"] = lambda s, d: D.simhash_near_pairs(
+        D.simhash(_docs(s, d)), max_hamming=6, block_bits=4
+    ).orderBy("doc_a", "doc_b")
+    q["language_id"] = lambda s, d: Q.language_id(_docs(s, d)).orderBy("doc_id")
+    q["token_stats"] = lambda s, d: Q.token_stats(_docs(s, d)).select(
+        "doc_id", "n_tokens", "n_chars", F.round("avg_token_len", 6).alias("avg_token_len")
+    ).orderBy("doc_id")
+    q["quality_score"] = lambda s, d: Q.quality_score(_docs(s, d)).select(
+        "doc_id",
+        "n_tokens",
+        portable_round("stopword_ratio", 6).alias("stopword_ratio"),
+        portable_round("punct_ratio", 6).alias("punct_ratio"),
+        portable_round("uniq_ratio", 6).alias("uniq_ratio"),
+        portable_round("quality", 6).alias("quality"),
+    ).orderBy("doc_id")
+    q["fingerprint"] = lambda s, d: Q.fingerprint(_docs(s, d)).orderBy("doc_id")
+
+    # --- similarity search ---
+    def _ann(s, d):
+        emb = _emb(s, d)
+        return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+            "query_id", "rank"
+        )
+
+    q["ann_cosine_topk"] = _ann
+    return q
 
 
+# ----------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["distance_band"] = f"WITH {_band_cte('orders', BAND_T)} {_iso_sql()}"
+    o["distance_band_idw"] = (
+        f"WITH {_band_cte('orders', BAND_T)} "
+        + _iso_sql("round(1.0/dist, 6)")
+    )
+    for _k in ["triangular", "parabolic", "gaussian", "bisquare", "tricube", "cosine", "exponential", "boxcar"]:
+        w = kernel_sql(_k, "dist", str(KERNEL_BW))
+        o[f"kernel_{_k}"] = (
+            f"WITH {_band_cte('orders', KERNEL_BW)} " + _iso_sql(f"round({w}, 6)")
+        )
+
+    o["knn"] = f"WITH {_knn_cte('customer', KNN_K)} {_iso_sql()}"
+    o["knn_symmetrize"] = f"""
+WITH {_knn_cte('customer', KNN_K)},
+sym AS (
+  SELECT focal, neighbor FROM e
+  UNION
+  SELECT neighbor AS focal, focal AS neighbor FROM e
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM sym
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM sym)
+ORDER BY focal, neighbor"""
+
+    for name, crit in [("queen", "queen"), ("rook", "rook")]:
+        o[name] = f"""
+WITH {_lattice_cte()}, {_lattice_edges(crit)}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["block_weights"] = """
+WITH e AS (
+  SELECT a.s_suppkey AS focal, b.s_suppkey AS neighbor
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT s_suppkey, s_suppkey, CAST(0.0 AS DOUBLE) FROM supplier
+WHERE s_suppkey NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    _gab_pred = (
+        "(p.xf-p.xn)*(p.xf-p.xn) + (p.yf-p.yn)*(p.yf-p.yn) > "
+        "(p.xf-k.x)*(p.xf-k.x) + (p.yf-k.y)*(p.yf-k.y) + "
+        "(p.xn-k.x)*(p.xn-k.x) + (p.yn-k.y)*(p.yn-k.y)"
+    )
+    _rng_pred = (
+        "greatest(sqrt((p.xf-k.x)*(p.xf-k.x) + (p.yf-k.y)*(p.yf-k.y)), "
+        "sqrt((p.xn-k.x)*(p.xn-k.x) + (p.yn-k.y)*(p.yn-k.y))) < "
+        "sqrt((p.xf-p.xn)*(p.xf-p.xn) + (p.yf-p.yn)*(p.yf-p.yn))"
+    )
+    for name, pred in [("gabriel", _gab_pred), ("relative_neighborhood", _rng_pred)]:
+        o[name] = f"""
+WITH pts AS ({_pts_sql('supplier')}),
+pairs AS (
+  SELECT a.id AS f, b.id AS n, a.x AS xf, a.y AS yf, b.x AS xn, b.y AS yn
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+blocked AS (
+  SELECT DISTINCT p.f, p.n FROM pairs p JOIN pts k
+    ON k.id <> p.f AND k.id <> p.n AND ({pred})
+),
+e AS (
+  SELECT f AS focal, n AS neighbor FROM pairs
+  WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.f = pairs.f AND b.n = pairs.n)
+)
+{_iso_sql()}"""
+
+    o["transform_r"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+deg AS (SELECT focal, count(*) AS d FROM e GROUP BY focal),
+t AS (SELECT e.focal, e.neighbor, round(1.0/deg.d, 6) AS weight
+      FROM e JOIN deg ON e.focal = deg.focal)
+SELECT focal, neighbor, CAST(weight AS DOUBLE) AS weight FROM t
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM t)
+ORDER BY focal, neighbor"""
+
+    o["transform_d"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+s0 AS (SELECT count(*) AS s FROM e)
+SELECT focal, neighbor, CAST(round(1.0/s, 9) AS DOUBLE) AS weight FROM e, s0
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    _two = f"""
+pts AS ({_pts_sql('customer')}),
+band AS (
+  SELECT a.id AS focal, b.id AS neighbor
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND abs(a.x-b.x) <= {CUST_BAND_T} AND abs(a.y-b.y) <= {CUST_BAND_T}
+   AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {CUST_BAND_T}
+),
+kn AS (
+  SELECT focal, neighbor FROM (
+    SELECT a.id AS focal, b.id AS neighbor,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) ASC,
+                                       b.id ASC) AS rk
+    FROM pts a JOIN pts b ON a.id <> b.id
+  ) WHERE rk <= {KNN_K}
+)"""
+
+    def _setop(expr: str) -> str:
+        return f"""
+WITH {_two},
+e AS ({expr})
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["set_union"] = _setop("SELECT focal, neighbor FROM band UNION SELECT focal, neighbor FROM kn")
+    o["set_intersection"] = _setop(
+        "SELECT focal, neighbor FROM band INTERSECT SELECT focal, neighbor FROM kn"
+    )
+    o["set_difference"] = _setop(
+        "SELECT focal, neighbor FROM band EXCEPT SELECT focal, neighbor FROM kn"
+    )
+    o["set_symmetric_difference"] = _setop(
+        "(SELECT focal, neighbor FROM band EXCEPT SELECT focal, neighbor FROM kn)"
+        " UNION "
+        "(SELECT focal, neighbor FROM kn EXCEPT SELECT focal, neighbor FROM band)"
+    )
+
+    o["higher_order_2"] = f"""
+WITH {_lattice_cte()}, {_lattice_edges('queen')},
+e2 AS (
+  SELECT DISTINCT a.focal, b.neighbor
+  FROM e a JOIN e b ON a.neighbor = b.focal
+  WHERE a.focal <> b.neighbor
+),
+ho AS (
+  SELECT focal, neighbor FROM e2
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.focal = e2.focal AND e.neighbor = e2.neighbor)
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM ho
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM ho)
+ORDER BY focal, neighbor"""
+
+    o["subgraph"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+keep AS (SELECT id FROM pts WHERE id % 5 = 0),
+sub AS (
+  SELECT e.focal, e.neighbor FROM e
+  WHERE e.focal IN (SELECT id FROM keep) AND e.neighbor IN (SELECT id FROM keep)
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM sub
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM keep WHERE id NOT IN (SELECT focal FROM sub)
+ORDER BY focal, neighbor"""
+
+    o["assign_self_weight"] = f"""
+WITH {_knn_cte('supplier', 3)}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(1.0 AS DOUBLE) FROM pts
+ORDER BY focal, neighbor"""
+
+    # both directions: (i,j) with w=1,rev=0 AND (j,i) with w=0,rev=1 — matches
+    # the reference's nonzero(W - W.T) (weights/weights.py:1186-1252)
+    o["asymmetry"] = f"""
+WITH {_knn_cte('customer', KNN_K)},
+asym AS (
+  SELECT focal, neighbor FROM e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e r WHERE r.focal = e.neighbor AND r.neighbor = e.focal
+  )
+)
+SELECT focal, neighbor FROM asym
+UNION ALL
+SELECT neighbor AS focal, focal AS neighbor FROM asym
+ORDER BY focal, neighbor"""
+
+    o["lag_spatial"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+deg AS (SELECT focal, count(*) AS d FROM e GROUP BY focal),
+r AS (SELECT e.focal, e.neighbor, 1.0/deg.d AS w FROM e JOIN deg ON e.focal = deg.focal),
+alle AS (
+  SELECT focal, neighbor, w FROM r
+  UNION ALL
+  SELECT id, id, 0.0 FROM pts WHERE id NOT IN (SELECT focal FROM r)
+)
+SELECT alle.focal AS id,
+       CAST({portable_round_sql(det_sum_sql('alle.w * y.o_totalprice'), 4)} AS DOUBLE) AS lag
+FROM alle JOIN orders y ON alle.neighbor = y.o_orderkey
+GROUP BY alle.focal ORDER BY id"""
+
+    o["lag_categorical"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+alle AS (
+  SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS w FROM e
+  UNION ALL
+  SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+),
+counts AS (
+  SELECT alle.focal, y.o_orderpriority AS cat, sum(alle.w) AS cnt
+  FROM alle JOIN orders y ON alle.neighbor = y.o_orderkey
+  WHERE NOT (alle.focal = alle.neighbor AND alle.w = 0.0)
+  GROUP BY 1, 2
+)
+SELECT focal AS id, cat AS lag FROM (
+  SELECT focal, cat, row_number() OVER (PARTITION BY focal ORDER BY cnt DESC, cat ASC) AS rk
+  FROM counts
+) WHERE rk = 1 ORDER BY id"""
+
+    _dsum = det_sum_sql("y.o_totalprice")
+    _dss = det_sum_sql("y.o_totalprice * y.o_totalprice")
+    _n = "CAST(count(*) AS DOUBLE)"
+    _m = f"({_dsum} / {_n})"
+    _std = (
+        f"CASE WHEN count(*) > 1 THEN "
+        f"sqrt(({_dss} - {_n} * ({_m} * {_m})) / ({_n} - 1.0)) END"
+    )
+    o["describe"] = f"""
+WITH {_band_cte('orders', BAND_T)}
+SELECT e.focal AS id,
+       CAST(count(*) AS BIGINT) AS count,
+       CAST({portable_round_sql(_m, 4)} AS DOUBLE) AS mean,
+       CAST({portable_round_sql(_std, 4)} AS DOUBLE) AS std,
+       CAST(round(min(y.o_totalprice), 4) AS DOUBLE) AS min,
+       CAST(round(max(y.o_totalprice), 4) AS DOUBLE) AS max,
+       CAST({portable_round_sql(_dsum, 2)} AS DOUBLE) AS sum,
+       CAST(count(DISTINCT y.o_totalprice) AS BIGINT) AS nunique
+FROM e JOIN orders y ON e.neighbor = y.o_orderkey
+GROUP BY e.focal ORDER BY id"""
+
+    o["cardinalities"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+deg AS (SELECT focal AS id, count(*) AS c FROM e GROUP BY focal)
+SELECT pts.id, CAST(coalesce(deg.c, 0) AS BIGINT) AS cardinality
+FROM pts LEFT JOIN deg ON pts.id = deg.id ORDER BY pts.id"""
+
+    o["summary_stats"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+w AS (SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e),
+rev AS (SELECT neighbor AS focal, focal AS neighbor, weight AS wr FROM w),
+pair AS (
+  SELECT coalesce(w.focal, rev.focal) AS focal,
+         coalesce(w.neighbor, rev.neighbor) AS neighbor,
+         coalesce(w.weight, 0.0) + coalesce(rev.wr, 0.0) AS sij
+  FROM w FULL OUTER JOIN rev
+    ON w.focal = rev.focal AND w.neighbor = rev.neighbor
+),
+rowsum AS (SELECT focal AS id, sum(weight) AS r FROM w GROUP BY focal),
+colsum AS (SELECT neighbor AS id, sum(weight) AS c FROM w GROUP BY neighbor),
+rc AS (
+  SELECT coalesce(rowsum.id, colsum.id) AS id,
+         coalesce(r, 0.0) + coalesce(c, 0.0) AS s
+  FROM rowsum FULL OUTER JOIN colsum ON rowsum.id = colsum.id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n,
+  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_edges,
+  (SELECT CAST(round(sum(weight), 4) AS DOUBLE) FROM w) AS s0,
+  (SELECT CAST(round(sum(sij * sij) / 2.0, 4) AS DOUBLE) FROM pair) AS s1,
+  (SELECT CAST(round(sum(s * s), 4) AS DOUBLE) FROM rc) AS s2"""
+
+    xs, ys = geocode_sql("doc_id")
+    _url = (
+        "concat('https://site', CAST(doc_id % 1000 AS VARCHAR), '.example/p/', "
+        "CAST(doc_id AS VARCHAR))"
+    )
+    o["pages_text_invariant"] = f"""
+SELECT {_url} AS url, text, lang FROM documents ORDER BY url"""
+
+    o["pages_tiles"] = f"""
+WITH g AS (SELECT {_url} AS url, {xs} AS x, {ys} AS y FROM documents)
+SELECT url,
+  ((CAST(floor(x/100.0) AS BIGINT) + 1048576) << 21) + (CAST(floor(y/100.0) AS BIGINT) + 1048576) AS tile_r0,
+  ((CAST(floor(x/10.0) AS BIGINT) + 1048576) << 21) + (CAST(floor(y/10.0) AS BIGINT) + 1048576) AS tile_r1
+FROM g ORDER BY url"""
+
+    xo, yo = geocode_sql("o_orderkey")
+    o["pip_join"] = f"""
+WITH pos AS (SELECT c_custkey AS id, row_number() OVER (ORDER BY c_custkey) - 1 AS p FROM customer),
+s AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS side FROM customer),
+sq AS (SELECT id, (p % side) * 30.0 AS x0, (p // side) * 30.0 AS y0 FROM pos, s),
+pts AS (SELECT o_orderkey AS id, {xo} AS x, {yo} AS y FROM orders)
+SELECT pts.id AS point_id, sq.id AS polygon_id
+FROM pts JOIN sq
+  ON pts.x >= sq.x0 AND pts.x < sq.x0 + 10 AND pts.y >= sq.y0 AND pts.y < sq.y0 + 10
+ORDER BY point_id, polygon_id"""
+    # half-open box semantics match even-odd ray casting toward +x: for an
+    # axis-aligned ring, x == x0 / y == y0 are inside, x == x1 / y == y1 out.
+
+    # --- text / dedup ---
+    o["dedup_exact"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1 ORDER BY content_hash"""
+
+    hash_cols = ",\n  ".join(
+        f"min(('0x' || substr(md5(concat('{i}:', sh)), 1, 15))::BIGINT) AS h{i}"
+        for i in range(MINHASH_H)
+    )
+    rows_per_band = MINHASH_H // MINHASH_BANDS
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + ")) AS band_hash FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    o["minhash_lsh_pairs"] = f"""
+WITH {_shingle_cte()},
+sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+    o["ngram_jaccard"] = f"""
+WITH {_shingle_cte("WHERE doc_id < 100")},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(i / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.sz + sb.sz - i) > 0.1
+ORDER BY doc_a, doc_b"""
+
+    _simhash_cte = """
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+bitsum AS (
+  SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM (SELECT doc_id, hv, unnest(generate_series(0, 31)) AS bit FROM h)
+  GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+)"""
+    o["simhash"] = f"WITH {_simhash_cte} SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+    o["simhash_near_pairs"] = f"""
+WITH {_simhash_cte}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY doc_a, doc_b"""
+
+    lang_unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lg}' AS lang, CAST(len(regexp_extract_all(lower(text), "
+        f"'\\b({'|'.join(ws)})\\b')) AS BIGINT) AS score FROM documents"
+        for lg, ws in Q.LANG_MARKERS.items()
+    )
+    o["language_id"] = f"""
+WITH scores AS ({lang_unions})
+SELECT doc_id, lang AS lang_pred, score AS lang_score FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+  FROM scores
+) WHERE rk = 1 ORDER BY doc_id"""
+
+    o["token_stats"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                  length(text) AS n_chars FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  / CAST(len(toks) AS DOUBLE), 6) AS DOUBLE) AS avg_token_len
+FROM t ORDER BY doc_id"""
+
+    en = "|".join(Q.LANG_MARKERS["en"])
+    o["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(lower(text), '\\b({en})\\b')) AS DOUBLE) AS stop,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         CAST(length(text) AS DOUBLE) AS chars,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) AS uniq
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(round(stop / n_tok + 1e-9, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(punct / chars + 1e-9, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(uniq / n_tok + 1e-9, 6) AS DOUBLE) AS uniq_ratio,
+       CAST(round(least(greatest(0.0,
+            0.4 * least(stop / n_tok * 5, 1.0)
+          + 0.3 * (uniq / n_tok)
+          + 0.3 * (1.0 - least(punct / chars * 10, 1.0))), 1.0) + 1e-9, 6) AS DOUBLE) AS quality
+FROM t ORDER BY doc_id"""
+
+    o["fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      list_aggregate(list_transform(generate_series(1, len(qv)),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, len(qv)),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, len(cv)),
+          i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')))
+    , 6) AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    return o

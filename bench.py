@@ -1,0 +1,125 @@
+"""Benchmark harness: headline operator suite at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cores": N,
+   "rows": {name: out_rows}, "rows_per_sec": ...}
+
+Usage:
+  python bench.py                  # SPARK_GRAFT_CPUS (default 32), sf0.1
+  SPARK_GRAFT_CPUS=8 python bench.py
+Scaling evidence (N vs 4N cores) is produced by scripts/scaling.py, which
+invokes this file in two subprocesses and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from libpysal_spark import get_spark
+from libpysal_spark.operators.contiguity import queen
+from libpysal_spark.operators.distance import distance_band, kernel_weights, knn
+from libpysal_spark.operators.lattice import lattice_polygons
+from libpysal_spark.operators.pip import pip_join
+from libpysal_spark.operators.triangulation import gabriel
+from libpysal_spark.pages import geocode_exprs
+from libpysal_spark.text import dedup as D
+from libpysal_spark.text.ann import cosine_topk
+
+BAND_T = 12.0
+
+
+def _points(spark, sf_dir, table, key):
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    x, y = geocode_exprs(key)
+    return df.select(F.col(key).alias("id"), x.alias("x"), y.alias("y"))
+
+
+def _lattice(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    side = int(n ** 0.5)
+    pos = cust.select(F.col("c_custkey").alias("id")).withColumn(
+        "p", F.row_number().over(Window.orderBy("id")) - 1
+    )
+    return lattice_polygons(
+        spark,
+        pos.select("id", (F.col("p") % side).alias("gx"), F.floor(F.col("p") / side).alias("gy")),
+    )
+
+
+def suite(spark, sf_dir):
+    """name -> callable returning a DataFrame to count()."""
+    orders = lambda: _points(spark, sf_dir, "orders", "o_orderkey")
+    supplier = lambda: _points(spark, sf_dir, "supplier", "s_suppkey")
+    docs = lambda: spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _lag():
+        pts = orders()
+        g = distance_band(pts, BAND_T).transform("R")
+        y = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("y")
+        )
+        return g.lag(y)
+
+    def _pip():
+        polys = _lattice(spark, sf_dir)
+        return pip_join(orders(), polys, 2.0)
+
+    return {
+        "distance_band_build": lambda: distance_band(orders(), BAND_T).edges,
+        "kernel_gaussian_build": lambda: kernel_weights(orders(), BAND_T, "gaussian").edges,
+        "knn10_build": lambda: knn(orders(), 10).edges,
+        "queen_contiguity_build": lambda: queen(_lattice(spark, sf_dir)).edges,
+        "transform_r_lag": _lag,
+        "pip_join": _pip,
+        "gabriel_grid": lambda: gabriel(supplier(), candidate_radius=200.0).edges,
+        "minhash_lsh_pairs": lambda: D.minhash_candidates(docs()),
+        "simhash_fingerprints": lambda: D.simhash(docs()),
+        "ann_cosine_topk": lambda: cosine_topk(emb(), emb().filter(F.col("vec_id") < 50), k=10),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path so per-query times measure the operators
+    spark.range(1000000).select(F.sum("id")).collect()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in suite(spark, sf_dir).items():
+        t0 = time.time()
+        rows[name] = fn().count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    total_rows = sum(rows.values())
+    out = {
+        "metric": "spatial-weights+dedup suite wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cores": cores,
+        "rows": rows,
+        "rows_per_sec": round(total_rows / total, 1) if total else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

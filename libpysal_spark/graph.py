@@ -1,0 +1,485 @@
+"""The spatial-weights graph as an edge-list DataFrame.
+
+Mirrors the semantics of the reference's modern ``Graph`` class
+(reference: graph/base.py:61-141): the entire state is one adjacency table
+``(focal, neighbor, weight)`` with
+
+- isolates encoded as zero-weight self-loops (graph/base.py:80-82,
+  graph/_utils.py:248-272);
+- a canonical deterministic ordering — here a global
+  ``orderBy(focal, neighbor)`` applied only at materialization boundaries
+  (Spark has no row order; ordering is a write-time property, required for
+  cluster-size-invariant output per BASELINE north_rule);
+- immutability — every method returns a new Graph over a new plan.
+
+Transforms (graph/base.py:1860-1887), set operations (graph/_set_ops.py),
+higher-order neighbors (graph/base.py:2274-2355), spatial lag
+(graph/_spatial_lag.py) and describe (graph/base.py:2921-2989) are all
+window/groupBy/join compositions — one hash shuffle by ``focal`` each, which
+Catalyst reuses across consecutive stages partitioned the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EDGE_COLS = ("focal", "neighbor", "weight")
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """Project to the edge schema and apply the canonical sort.
+
+    Deterministic output order is a correctness requirement (north_rule:
+    identical rows at N and 4N parallelism), mirroring the reference's
+    stable sorts (graph/_utils.py:39-47).
+    """
+    return edges.select(
+        F.col("focal"),
+        F.col("neighbor"),
+        F.col("weight").cast("double").alias("weight"),
+    ).orderBy("focal", "neighbor")
+
+
+def resolve_isolates(edges: DataFrame, ids: DataFrame) -> DataFrame:
+    """Add zero-weight self-loops for ids with no edges.
+
+    ``ids`` must have a single column ``id`` (the node universe).
+    Reference: graph/_utils.py:248-272 ``_resolve_islands``.
+    """
+    isolates = (
+        ids.join(edges.select(F.col("focal").alias("id")).distinct(), "id", "left_anti")
+        .select(
+            F.col("id").alias("focal"),
+            F.col("id").alias("neighbor"),
+            F.lit(0.0).alias("weight"),
+        )
+    )
+    return edges.select(*EDGE_COLS).unionByName(isolates)
+
+
+def _real_edges(edges: DataFrame):
+    """Filter out isolate self-loops (weight 0 on the diagonal)."""
+    return edges.filter(~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0)))
+
+
+class Graph:
+    """Immutable spatial-weights graph over an edge-list DataFrame.
+
+    ``edges`` must have columns (focal, neighbor, weight); isolates already
+    encoded as zero-weight self-loops (use :func:`resolve_isolates`).
+    """
+
+    def __init__(self, edges: DataFrame, transformation: str = "O"):
+        self.edges = edges.select(*EDGE_COLS)
+        self.transformation = transformation
+
+    # -- constructors -------------------------------------------------
+    @classmethod
+    def from_arrays(cls, spark, focal, neighbor, weight) -> "Graph":
+        rows = list(zip(focal, neighbor, [float(w) for w in weight]))
+        df = spark.createDataFrame(rows, schema="focal long, neighbor long, weight double")
+        return cls(df)
+
+    @classmethod
+    def from_dicts(cls, spark, neighbors: dict, weights: dict | None = None) -> "Graph":
+        """Reference: graph/base.py:458 / weights/weights.py:134 dict form."""
+        rows = []
+        for f, nbrs in neighbors.items():
+            ws = weights[f] if weights else [1.0] * len(nbrs)
+            for n, w in zip(nbrs, ws):
+                rows.append((f, n, float(w)))
+            if not nbrs:
+                rows.append((f, f, 0.0))
+        df = spark.createDataFrame(rows, schema="focal long, neighbor long, weight double")
+        return cls(df)
+
+    # -- materialization ----------------------------------------------
+    def sorted(self) -> DataFrame:
+        return canonicalize(self.edges)
+
+    def to_pandas(self):
+        return self.sorted().toPandas()
+
+    def neighbor_dicts(self) -> tuple[dict, dict]:
+        """Collect to the legacy W dict-of-lists form (driver-side, small graphs).
+
+        Reference: weights/weights.py:134 (neighbors/weights dicts).
+        """
+        pdf = self.to_pandas()
+        neighbors: dict = {}
+        weights: dict = {}
+        for f, n, w in pdf.itertuples(index=False):
+            if f == n and w == 0.0:
+                neighbors.setdefault(f, [])
+                weights.setdefault(f, [])
+                continue
+            neighbors.setdefault(f, []).append(n)
+            weights.setdefault(f, []).append(w)
+        return neighbors, weights
+
+    # -- transforms (reference: graph/base.py:1827-1902) ---------------
+    def transform(self, scheme: str) -> "Graph":
+        scheme = scheme.upper()
+        e = self.edges
+        if scheme == "O":
+            return Graph(e, "O")
+        if scheme == "B":
+            out = e.withColumn(
+                "weight",
+                F.when(
+                    (F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0), 0.0
+                ).otherwise((F.col("weight") != 0.0).cast("double")),
+            )
+            return Graph(out, "B")
+        if scheme == "R":
+            w = Window.partitionBy("focal")
+            out = e.withColumn(
+                "weight",
+                F.when(F.sum("weight").over(w) == 0.0, 0.0).otherwise(
+                    F.col("weight") / F.sum("weight").over(w)
+                ),
+            )
+            return Graph(out, "R")
+        if scheme == "D":
+            s0 = F.sum("weight").over(Window.partitionBy())
+            out = e.withColumn("weight", F.col("weight") / s0)
+            return Graph(out, "D")
+        if scheme == "V":
+            # s_ij = w_ij / sqrt(sum_j w_ij^2), then scale by n / sum(s)
+            # Reference: graph/base.py:1876-1881, weights/weights.py:1156-1174.
+            wf = Window.partitionBy("focal")
+            e2 = e.withColumn(
+                "__s",
+                F.when(F.sum(F.col("weight") ** 2).over(wf) == 0.0, 0.0).otherwise(
+                    F.col("weight") / F.sqrt(F.sum(F.col("weight") ** 2).over(wf))
+                ),
+            )
+            wall = Window.partitionBy()
+            n_nodes = F.size(F.collect_set("focal").over(wall))
+            s_total = F.sum("__s").over(wall)
+            out = e2.withColumn("weight", F.col("__s") * n_nodes / s_total).drop("__s")
+            return Graph(out, "V")
+        raise ValueError(f"unknown transformation {scheme!r}")
+
+    # -- set operations (reference: graph/_set_ops.py) ------------------
+    def _ids(self) -> DataFrame:
+        return self.edges.select(F.col("focal").alias("id")).distinct()
+
+    def union(self, other: "Graph") -> "Graph":
+        """Binary union of link sets (graph/_set_ops.py:105-128)."""
+        e = (
+            _real_edges(self.edges)
+            .select("focal", "neighbor")
+            .unionByName(_real_edges(other.edges).select("focal", "neighbor"))
+            .distinct()
+            .withColumn("weight", F.lit(1.0))
+        )
+        return Graph(resolve_isolates(e, self._ids()))
+
+    def intersection(self, other: "Graph") -> "Graph":
+        e = (
+            _real_edges(self.edges)
+            .select("focal", "neighbor")
+            .join(_real_edges(other.edges).select("focal", "neighbor"), ["focal", "neighbor"])
+            .distinct()
+            .withColumn("weight", F.lit(1.0))
+        )
+        return Graph(resolve_isolates(e, self._ids()))
+
+    def difference(self, other: "Graph") -> "Graph":
+        """Left anti join — edges in self not in other (graph/_set_ops.py:130-148)."""
+        e = (
+            _real_edges(self.edges)
+            .select("focal", "neighbor")
+            .join(
+                _real_edges(other.edges).select("focal", "neighbor"),
+                ["focal", "neighbor"],
+                "left_anti",
+            )
+            .withColumn("weight", F.lit(1.0))
+        )
+        return Graph(resolve_isolates(e, self._ids()))
+
+    def symmetric_difference(self, other: "Graph") -> "Graph":
+        a = _real_edges(self.edges).select("focal", "neighbor")
+        b = _real_edges(other.edges).select("focal", "neighbor")
+        e = (
+            a.join(b, ["focal", "neighbor"], "left_anti")
+            .unionByName(b.join(a, ["focal", "neighbor"], "left_anti"))
+            .withColumn("weight", F.lit(1.0))
+        )
+        return Graph(resolve_isolates(e, self._ids()))
+
+    def issubgraph(self, other: "Graph") -> bool:
+        extra = (
+            _real_edges(self.edges)
+            .select("focal", "neighbor")
+            .join(
+                _real_edges(other.edges).select("focal", "neighbor"),
+                ["focal", "neighbor"],
+                "left_anti",
+            )
+        )
+        return extra.isEmpty()
+
+    def equals(self, other: "Graph") -> bool:
+        a, b = self.edges, other.edges
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def subgraph(self, ids: DataFrame) -> "Graph":
+        """Restrict to an id subset; isolates re-encoded (graph/base.py:2708-2770).
+
+        ``ids``: single-column DataFrame named ``id``.
+        """
+        e = (
+            _real_edges(self.edges)
+            .join(ids.withColumnRenamed("id", "focal"), "focal", "left_semi")
+            .join(ids.withColumnRenamed("id", "neighbor"), "neighbor", "left_semi")
+        )
+        return Graph(resolve_isolates(e.select(*EDGE_COLS), ids))
+
+    # -- symmetry (reference: graph/base.py:2039-2272) -------------------
+    def symmetrize(self, method: str = "max") -> "Graph":
+        """Union with reversed edges; conflicting weights reduced by ``method``."""
+        rev = self.edges.select(
+            F.col("neighbor").alias("focal"),
+            F.col("focal").alias("neighbor"),
+            F.col("weight"),
+        )
+        agg = {"max": F.max, "min": F.min, "sum": F.sum, "mean": F.avg}[method]
+        e = (
+            _real_edges(self.edges)
+            .unionByName(_real_edges(rev))
+            .groupBy("focal", "neighbor")
+            .agg(agg("weight").alias("weight"))
+        )
+        return Graph(resolve_isolates(e, self._ids()))
+
+    def asymmetry(self, intrinsic: bool = True) -> DataFrame:
+        """Pairs (i, j) where w_ij != w_ji (graph/base.py:2039-2101).
+
+        Full-outer self-join on the swapped key; missing reverse edge counts
+        as weight 0.
+        """
+        a = _real_edges(self.edges)
+        b = a.select(
+            F.col("neighbor").alias("focal"),
+            F.col("focal").alias("neighbor"),
+            F.col("weight").alias("weight_rev"),
+        )
+        j = a.join(b, ["focal", "neighbor"], "full_outer").select(
+            "focal",
+            "neighbor",
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+            F.coalesce("weight_rev", F.lit(0.0)).alias("weight_rev"),
+        )
+        if intrinsic:
+            return j.filter(F.col("weight") != F.col("weight_rev")).select("focal", "neighbor")
+        return j.filter(
+            (F.col("weight") != 0.0) != (F.col("weight_rev") != 0.0)
+        ).select("focal", "neighbor")
+
+    # -- graph algebra ---------------------------------------------------
+    def higher_order(
+        self, k: int = 2, shortest_path: bool = True, lower_order: bool = False, diagonal: bool = False
+    ) -> "Graph":
+        """k-order neighbors via k-1 rounds of hash self-joins.
+
+        Reference semantics: weights/util.py:400-553 / graph/base.py:2274-2355
+        (sparse ``matrix_power``). Each round is
+        ``E_k = E_{k-1} ⋈ E_1 on (E_{k-1}.neighbor == E_1.focal)`` + distinct;
+        ``shortest_path`` anti-joins away pairs reachable at lower order.
+        """
+        base = _real_edges(self.edges).select("focal", "neighbor").distinct()
+        powers = [base]
+        cur = base
+        for _ in range(k - 1):
+            step = base.select(
+                F.col("focal").alias("__mid"), F.col("neighbor").alias("neighbor")
+            )
+            cur = (
+                cur.select("focal", F.col("neighbor").alias("__mid"))
+                .join(step, "__mid")
+                .select("focal", "neighbor")
+                .distinct()
+            )
+            powers.append(cur)
+        if lower_order:
+            out = powers[0]
+            for p in powers[1:]:
+                out = out.unionByName(p).distinct()
+        else:
+            out = powers[-1]
+            if shortest_path:
+                for p in powers[:-1]:
+                    out = out.join(p, ["focal", "neighbor"], "left_anti")
+        if not diagonal:
+            out = out.filter(F.col("focal") != F.col("neighbor"))
+        e = out.withColumn("weight", F.lit(1.0))
+        return Graph(resolve_isolates(e, self._ids()))
+
+    def assign_self_weight(self, weight: float = 1.0) -> "Graph":
+        """Set w_ii = weight for every node (graph/base.py:2795-2872)."""
+        diag = self._ids().select(
+            F.col("id").alias("focal"),
+            F.col("id").alias("neighbor"),
+            F.lit(float(weight)).alias("weight"),
+        )
+        off = self.edges.filter(F.col("focal") != F.col("neighbor"))
+        return Graph(off.unionByName(diag))
+
+    def eliminate_zeros(self) -> "Graph":
+        """Drop zero-weight edges except isolate loops (graph/base.py:2772-2793)."""
+        e = self.edges.filter(
+            (F.col("weight") != 0.0) | (F.col("focal") == F.col("neighbor"))
+        )
+        return Graph(e, self.transformation)
+
+    # -- analytics (reference: graph/_spatial_lag.py, graph/base.py) -----
+    def lag(self, y: DataFrame, value_col: str = "y", deterministic: bool = False) -> DataFrame:
+        """Spatial lag Wy as a join-aggregate SpMV.
+
+        ``y``: DataFrame (id, value_col). Returns (id, lag).
+        Reference: weights/spatial_lag.py:16-88, graph/_spatial_lag.py:5-96.
+
+        ``deterministic=True`` uses the sorted-fold sum (functions.detagg) so
+        the result is bit-identical across cluster sizes / engines.
+        """
+        yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__y"))
+        if deterministic:
+            from libpysal_spark.functions.detagg import det_sum
+
+            agg = det_sum(F.col("weight") * F.col("__y")).alias("lag")
+        else:
+            agg = F.sum(F.col("weight") * F.col("__y")).alias("lag")
+        return (
+            self.edges.join(yn, "neighbor")
+            .groupBy(F.col("focal").alias("id"))
+            .agg(agg)
+        )
+
+    def lag_categorical(self, y: DataFrame, value_col: str = "y", ties: str = "lowest") -> DataFrame:
+        """Modal neighbor category weighted by w (weights/spatial_lag.py:91-240).
+
+        Tie policies: 'lowest' / 'highest' (deterministic — the reference's
+        'random' policy is nondeterministic by design; we pin deterministic
+        variants for cluster-size invariance).
+        """
+        yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__cat"))
+        counts = (
+            _real_edges(self.edges)
+            .join(yn, "neighbor")
+            .groupBy("focal", "__cat")
+            .agg(F.sum("weight").alias("__cnt"))
+        )
+        order = [F.col("__cnt").desc(), F.col("__cat").asc() if ties == "lowest" else F.col("__cat").desc()]
+        w = Window.partitionBy("focal").orderBy(*order)
+        return (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("focal").alias("id"), F.col("__cat").alias("lag"))
+        )
+
+    def describe(self, y: DataFrame, value_col: str = "y", deterministic: bool = False) -> DataFrame:
+        """Per-focal stats of neighbor values (graph/base.py:2921-2989).
+
+        ``deterministic=True`` computes mean/std/sum from sorted-fold sums
+        (bit-identical across partitionings; std via the explicit
+        (ss - n·m²)/(n-1) form, NULL for singleton groups).
+        """
+        yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__y"))
+        grouped = (
+            _real_edges(self.edges)
+            .join(yn, "neighbor")
+            .groupBy(F.col("focal").alias("id"))
+        )
+        if deterministic:
+            from libpysal_spark.functions.detagg import det_sum
+
+            base = grouped.agg(
+                F.count("__y").alias("count"),
+                det_sum("__y").alias("sum"),
+                det_sum(F.col("__y") * F.col("__y")).alias("__ss"),
+                F.min("__y").alias("min"),
+                F.max("__y").alias("max"),
+                F.countDistinct("__y").alias("nunique"),
+            )
+            n = F.col("count").cast("double")
+            m = F.col("sum") / n
+            std = F.when(
+                F.col("count") > 1,
+                F.sqrt((F.col("__ss") - n * (m * m)) / (n - F.lit(1.0))),
+            )
+            return base.select(
+                "id", "count", m.alias("mean"), std.alias("std"),
+                "min", "max", "sum", "nunique",
+            )
+        return grouped.agg(
+            F.count("__y").alias("count"),
+            F.avg("__y").alias("mean"),
+            F.stddev_samp("__y").alias("std"),
+            F.min("__y").alias("min"),
+            F.max("__y").alias("max"),
+            F.sum("__y").alias("sum"),
+            F.countDistinct("__y").alias("nunique"),
+        )
+
+    def cardinalities(self) -> DataFrame:
+        """Per-node degree; isolates → 0 (weights/weights.py:748, graph/base.py:1934)."""
+        deg = (
+            _real_edges(self.edges)
+            .groupBy(F.col("focal").alias("id"))
+            .agg(F.count("*").alias("cardinality"))
+        )
+        return (
+            self._ids()
+            .join(deg, "id", "left")
+            .select("id", F.coalesce("cardinality", F.lit(0)).cast("long").alias("cardinality"))
+        )
+
+    def summary(self) -> DataFrame:
+        """One-row DataFrame of (n, n_edges, s0, s1, s2).
+
+        s0 = Σ w_ij; s1 = ½ Σ_ij (w_ij + w_ji)²;
+        s2 = Σ_i (Σ_j w_ji + Σ_j w_ij)²  — reference weights/weights.py:610-737.
+        """
+        e = _real_edges(self.edges)
+        rev = e.select(
+            F.col("neighbor").alias("focal"),
+            F.col("focal").alias("neighbor"),
+            F.col("weight").alias("weight_rev"),
+        )
+        pair = e.join(rev, ["focal", "neighbor"], "full_outer").select(
+            "focal",
+            "neighbor",
+            (F.coalesce("weight", F.lit(0.0)) + F.coalesce("weight_rev", F.lit(0.0))).alias("__s"),
+        )
+        s1 = pair.agg((F.sum(F.col("__s") ** 2) / 2.0).alias("s1"))
+        rows = e.groupBy(F.col("focal").alias("id")).agg(F.sum("weight").alias("__r"))
+        cols = e.groupBy(F.col("neighbor").alias("id")).agg(F.sum("weight").alias("__c"))
+        s2 = (
+            rows.join(cols, "id", "full_outer")
+            .select(
+                (
+                    (F.coalesce("__r", F.lit(0.0)) + F.coalesce("__c", F.lit(0.0))) ** 2
+                ).alias("__rc")
+            )
+            .agg(F.sum("__rc").alias("s2"))
+        )
+        base = self.edges.agg(
+            F.countDistinct("focal").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0), 0
+                ).otherwise(1)
+            ).alias("n_edges"),
+            F.sum("weight").alias("s0"),
+        )
+        return base.crossJoin(s1).crossJoin(s2)
+
+    def islands(self) -> DataFrame:
+        """Ids encoded as isolates (zero-weight self loops)."""
+        return self.edges.filter(
+            (F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0)
+        ).select(F.col("focal").alias("id"))

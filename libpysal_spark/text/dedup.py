@@ -1,0 +1,232 @@
+"""Deduplication operators for web-scale corpora.
+
+All hashing is *portable arithmetic over md5 hex* — identical in Spark and in
+the DuckDB oracle, no engine-specific hash functions, no Python UDFs:
+
+    h(s) = bigint(first 15 hex chars of md5(s))   (60 bits, fits int64)
+
+- exact dedup: groupBy content hash;
+- MinHash + LSH: K independent hashes h_i(s) = h(i || ':' || s) over word
+  shingles; signature = elementwise min; LSH bands of B rows hashed together;
+  candidate pairs share >= 1 band bucket (classic Broder 1997 / LSH banding);
+- SimHash: D-bit fingerprint; bit j = sign of sum over tokens of
+  (2*bit_j(h(token)) - 1) (Charikar 2002); near-dup = Hamming distance <= r
+  via bit_count(xor);
+- n-gram Jaccard: exact set Jaccard over shingles, computed by a
+  shingle-inverted-index self-join (the groupBy(shingle) → pair-count →
+  |A∩B| / (|A|+|B|-|A∩B|) identity) — never materializes per-pair shingle
+  lists.
+
+Scale notes: every operator is explode → groupBy → self-join on a hash key;
+skewed shingles (stopwords) are the hot keys — the Jaccard join drops
+shingles with document-frequency above ``max_df`` (standard practice, and the
+band join only ever joins on full signatures, which are high-entropy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def portable_hash(col: F.Column) -> F.Column:
+    """60-bit integer hash from md5 hex — bit-identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash32(col: F.Column) -> F.Column:
+    """32-bit variant (for SimHash bit extraction)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(text_col)), TOKEN_RE)
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct n-word shingles as an array<string>."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, keep_id, n_dups): one row per distinct content."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures.
+
+    Exploded-shingle groupBy: one shuffle by doc, mins computed as
+    min(h_i) aggregations — partial aggregation (map-side combine) makes this
+    linear in corpus size.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(portable_hash(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_bands(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_hash) — LSH banding of MinHash signatures."""
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        band_cols = [F.col("sig")[i].cast("string") for i in range(b * rows, (b + 1) * rows)]
+        parts.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *band_cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a < doc_b) sharing >= 1 LSH band."""
+    band_tbl = lsh_bands(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n), num_hashes, bands
+    )
+    a = band_tbl.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = band_tbl.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct shingles via inverted-index join.
+
+    Returns (doc_a, doc_b, jaccard) for pairs with jaccard > threshold.
+    ``max_df`` drops shingles present in more than that many docs (skew guard;
+    exactness holds when max_df is None).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    if max_df is not None:
+        keep = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
+        sh = sh.join(keep, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select("sh", F.col("doc_id").alias("doc_a"))
+    b = sh.select("sh", F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") > threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash) — Charikar fingerprint over whitespace tokens.
+
+    Pure relational form: explode tokens (with multiplicity) × explode bit
+    positions → sum signs per (doc, bit) → pack. Two shuffles, both keyed by
+    doc_id, no UDFs.
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("h", portable_hash32(F.col("tok")))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft need F.expr for a column shift amount
+    contrib = tok.select("doc_id", "h", bitpos).withColumn(
+        "sign", F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1")
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .withColumn(
+            "bitval",
+            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), cast(bit as int)) else cast(0 as bigint) end"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, max_hamming: int = 6, block_bits: int = 8, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, pruned by byte-block LSH.
+
+    Pigeonhole: if hamming(a, b) <= max_hamming and we cut the fingerprint
+    into ``bits/block_bits`` blocks with more blocks than max_hamming, some
+    block matches exactly — join on (block_idx, block_value), then verify with
+    bit_count(xor). For small inputs callers may instead cross-join.
+    """
+    nblocks = bits // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("blk"),
+    ).withColumn(
+        "blkval",
+        F.expr(f"shiftright(simhash, cast(blk * {block_bits} as int)) & {mask}"),
+    )
+    a = blocks.select("blk", "blkval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = blocks.select("blk", "blkval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["blk", "blkval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,140 @@
+"""Graph algebra / transform / analytics semantics on small hand-checked fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.graph import Graph
+from libpysal_spark.operators.lattice import lat2w
+
+
+@pytest.fixture(scope="module")
+def path4(spark):
+    # path graph 0-1-2-3 plus isolate 9
+    return Graph.from_dicts(
+        spark,
+        {0: [1], 1: [0, 2], 2: [1, 3], 3: [2], 9: []},
+    )
+
+
+def _edges(g: Graph) -> dict:
+    return {(r.focal, r.neighbor): r.weight for r in g.edges.collect()}
+
+
+def test_transform_r(path4):
+    w = _edges(path4.transform("R"))
+    assert w[(1, 0)] == 0.5 and w[(1, 2)] == 0.5
+    assert w[(0, 1)] == 1.0
+    assert w[(9, 9)] == 0.0  # isolate stays zero
+
+
+def test_transform_b_and_d(spark, path4):
+    b = _edges(path4.transform("B"))
+    assert b[(0, 1)] == 1.0
+    d = _edges(path4.transform("D"))
+    assert abs(d[(0, 1)] - 1.0 / 6.0) < 1e-15  # s0 = 6 directed edges
+
+
+def test_higher_order_path(path4):
+    # on a path, 2nd order (shortest path) = nodes two hops away
+    w = _edges(path4.higher_order(2))
+    real = {k for k, v in w.items() if not (k[0] == k[1] and v == 0.0)}
+    assert real == {(0, 2), (2, 0), (1, 3), (3, 1)}
+
+
+def test_higher_order_lower(path4):
+    w = _edges(path4.higher_order(2, lower_order=True))
+    real = {k for k, v in w.items() if not (k[0] == k[1] and v == 0.0)}
+    assert real == {(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (0, 2), (2, 0), (1, 3), (3, 1)}
+
+
+def test_set_ops(spark):
+    a = Graph.from_dicts(spark, {0: [1], 1: [0, 2], 2: [1]})
+    b = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
+    assert {k for k, v in _edges(a.intersection(b)).items() if v == 1.0} == {(0, 1), (1, 0)}
+    uni = {k for k, v in _edges(a.union(b)).items() if v == 1.0}
+    assert uni == {(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)}
+    diff = {k for k, v in _edges(a.difference(b)).items() if v == 1.0}
+    assert diff == {(1, 2), (2, 1)}
+    sym = {k for k, v in _edges(a.symmetric_difference(b)).items() if v == 1.0}
+    assert sym == {(1, 2), (2, 1), (0, 2), (2, 0)}
+    assert a.intersection(b).issubgraph(a)
+    assert not a.equals(b)
+    assert a.equals(a)
+
+
+def test_symmetrize_and_asymmetry(spark):
+    g = Graph(
+        spark.createDataFrame(
+            [(0, 1, 2.0), (1, 0, 4.0), (0, 2, 1.0)],
+            "focal long, neighbor long, weight double",
+        )
+    )
+    sym = _edges(g.symmetrize("max"))
+    assert sym[(0, 1)] == 4.0 and sym[(1, 0)] == 4.0
+    assert sym[(2, 0)] == 1.0  # reverse edge added
+    asym = {(r.focal, r.neighbor) for r in g.asymmetry().collect()}
+    assert asym == {(0, 1), (1, 0), (0, 2), (2, 0)}
+
+
+def test_subgraph_isolates(spark, path4):
+    ids = spark.createDataFrame([(0,), (3,), (9,)], "id long")
+    sub = path4.subgraph(ids)
+    w = _edges(sub)
+    # 0 and 3 are not adjacent -> all three become isolates
+    assert w == {(0, 0): 0.0, (3, 3): 0.0, (9, 9): 0.0}
+
+
+def test_assign_self_weight(path4):
+    w = _edges(path4.assign_self_weight(0.5))
+    assert w[(0, 0)] == 0.5 and w[(9, 9)] == 0.5 and w[(0, 1)] == 1.0
+
+
+def test_lag(spark, path4):
+    y = spark.createDataFrame(
+        [(0, 1.0), (1, 10.0), (2, 100.0), (3, 1000.0), (9, 5.0)], "id long, y double"
+    )
+    lag = {r.id: r.lag for r in path4.lag(y).collect()}
+    assert lag[0] == 10.0
+    assert lag[1] == 101.0
+    assert lag[9] == 0.0  # isolate: zero self-loop weight
+    det = {r.id: r.lag for r in path4.lag(y, deterministic=True).collect()}
+    assert det == lag
+
+
+def test_cardinalities_and_islands(path4):
+    card = {r.id: r.cardinality for r in path4.cardinalities().collect()}
+    assert card == {0: 1, 1: 2, 2: 2, 3: 1, 9: 0}
+    assert [r.id for r in path4.islands().collect()] == [9]
+
+
+def test_describe(spark, path4):
+    y = spark.createDataFrame(
+        [(0, 2.0), (1, 4.0), (2, 6.0), (3, 8.0), (9, 1.0)], "id long, y double"
+    )
+    d = {r.id: r for r in path4.describe(y, deterministic=True).collect()}
+    assert d[1]["count"] == 2 and d[1]["mean"] == 4.0 and d[1]["sum"] == 8.0
+    assert d[1]["min"] == 2.0 and d[1]["max"] == 6.0
+    assert abs(d[1]["std"] - 2.8284271247461903) < 1e-12
+    assert d[0]["std"] is None  # singleton group
+    assert 9 not in d  # isolates have no neighbor stats
+
+
+def test_lag_categorical(spark):
+    g = Graph.from_dicts(spark, {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]})
+    y = spark.createDataFrame(
+        [(0, "x"), (1, "a"), (2, "b"), (3, "a")], "id long, y string"
+    )
+    lag = {r.id: r.lag for r in g.lag_categorical(y).collect()}
+    assert lag[0] == "a"  # modal
+    assert lag[1] == "x"
+
+
+def test_eliminate_zeros(spark):
+    g = Graph(
+        spark.createDataFrame(
+            [(0, 1, 0.0), (0, 2, 3.0), (5, 5, 0.0)],
+            "focal long, neighbor long, weight double",
+        )
+    )
+    w = _edges(g.eliminate_zeros())
+    assert w == {(0, 2): 3.0, (5, 5): 0.0}

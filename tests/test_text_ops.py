@@ -1,0 +1,103 @@
+"""Dedup / text-analysis / ANN operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.text import dedup as D
+from libpysal_spark.text import quality as Q
+from libpysal_spark.text.ann import ann_topk_lsh, cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_duplicates(spark):
+    rows = [(0, "a b c"), (1, "a b c"), (2, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.keep_id: r.n_dups for r in D.exact_duplicates(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_jaccard_identical_docs(spark):
+    rows = [(0, "w1 w2 w3 w4 w5"), (1, "w1 w2 w3 w4 w5"), (2, "zz qq rr ss tt")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard(df).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) not in out
+
+
+def test_minhash_finds_near_duplicates(spark, docs):
+    # plant a near-duplicate pair
+    base = docs.limit(1).select(F.lit(9000).alias("doc_id"), "text")
+    dup = docs.limit(1).select(F.lit(9001).alias("doc_id"), F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    df = docs.select("doc_id", "text").unionByName(base).unionByName(dup)
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_candidates(df).collect()}
+    assert (9000, 9001) in pairs
+
+
+def test_simhash_identical_is_zero_hamming(spark):
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = D.simhash(df)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(sims, max_hamming=32, block_bits=4).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_language_id_markers(spark):
+    rows = [(0, "the cat and the dog of the house is here"),
+            (1, "der hund und die katze ist nicht hier")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in Q.language_id(df).collect()}
+    assert out == {0: "en", 1: "de"}
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "aa bbb c")], "doc_id long, text string")
+    r = Q.token_stats(df).first()
+    assert r.n_tokens == 3 and r.n_chars == 8
+    assert abs(r.avg_token_len - 2.0) < 1e-12
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "b a c"), (1, "c b a a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.fingerprint for r in Q.fingerprint(df).collect()}
+    assert out[0] == out[1]
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, q, k=4).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out.groupby("query_id")["rank"].max() == 4).all()
+    # scores sorted descending per query
+    for _, grp in out.groupby("query_id"):
+        s = grp.sort_values("rank")["cosine"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
+
+
+def test_ann_lsh_recall_reasonable(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, k=3).toPandas()
+    approx = ann_topk_lsh(emb, q, k=3, num_planes=4, num_tables=8).toPandas()
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    ap = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5  # 8 tables x 4 planes
+
+
+def test_pages_text_byte_identity(spark):
+    from libpysal_spark.pages import pages
+
+    p = pages(spark, SF).select("doc_id", "text").toPandas()
+    raw = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").toPandas()
+    m = p.merge(raw, on="doc_id", suffixes=("_p", "_r"))
+    assert (m["text_p"] == m["text_r"]).all()
