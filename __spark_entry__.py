@@ -29,10 +29,20 @@ from libpysal_spark.functions.detagg import (
 from libpysal_spark.functions.kernels import kernel_sql, kernel_expr
 from libpysal_spark.graph import Graph
 from libpysal_spark.operators.contiguity import block_weights, queen, rook
-from libpysal_spark.operators.distance import distance_band, kernel_weights, knn
+from libpysal_spark.operators.distance import (
+    adaptive_kernel,
+    distance_band,
+    kernel_weights,
+    knn,
+    knn_table,
+    unique_site_cliques,
+)
 from libpysal_spark.operators.pip import pip_join
+from libpysal_spark.operators.raster import raster_contiguity
+from libpysal_spark.operators.spint import netw, odw, vecw
 from libpysal_spark.operators.triangulation import gabriel, relative_neighborhood
 from libpysal_spark.operators.lattice import lattice_polygons
+from libpysal_spark.functions.sphere import arc_knn
 from libpysal_spark.pages import geocode_exprs, geocode_sql, pages
 from libpysal_spark.text import dedup as D
 from libpysal_spark.text import quality as Q
@@ -412,6 +422,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_cosine_topk"] = _ann
+
+    # --- raster contiguity (SURVEY §2.2 raster) ---
+    def _raster(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet").filter(
+            (F.col("event_id") < 6400) & (F.col("value") > 0)
+        )
+        cells = ev.select(
+            F.lit(0).alias("band"),
+            (F.col("event_id") % 80).alias("row"),
+            (F.col("event_id") / 80).cast("long").alias("col"),
+        )
+        return _edges_out(raster_contiguity(cells, 80, 80, "queen"))
+
+    q["raster_contiguity"] = _raster
+
+    # --- spatial interaction (SURVEY §2.2 spintW) ---
+    def _odw(s, d):
+        pts = _points(s, d, "supplier")
+        n_d = pts.count()
+        w = knn(pts, 3)
+        return _edges_out(odw(w, w, n_d))
+
+    q["odw_kron"] = _odw
+
+    def _netw(s, d):
+        sup = s.read.parquet(f"{d}/supplier.parquet")
+        links = sup.select(
+            F.col("s_suppkey").alias("link_id"),
+            F.col("s_nationkey").cast("long").alias("o"),
+            (F.col("s_suppkey") % 7).alias("d"),
+        )
+        return _edges_out(netw(links, "A"))
+
+    q["netw_shared_endpoint"] = _netw
+
+    def _vecw(s, d):
+        o = s.read.parquet(f"{d}/orders.parquet").filter(F.col("o_orderkey") < 3000)
+        ox, oy = geocode_exprs("o_orderkey")
+        dx, dy = geocode_exprs("o_custkey")
+        flows = o.select(
+            F.col("o_orderkey").alias("id"),
+            ox.alias("ox"), oy.alias("oy"), dx.alias("dx"), dy.alias("dy"),
+        )
+        return _edges_out(vecw(flows, 120.0))
+
+    q["vecw_band4d"] = _vecw
+
+    # --- adaptive bandwidth kernels (graph/_kernel.py bandwidth modes) ---
+    q["adaptive_kernel"] = lambda s, d: _edges_out(
+        adaptive_kernel(_points(s, d, "customer"), 10, "gaussian"), 6
+    )
+    q["kernel_fixed_knn_bw"] = lambda s, d: _edges_out(
+        adaptive_kernel(_points(s, d, "customer"), 10, "triangular", fixed=True), 6
+    )
+
+    # --- arc metric (cg/sphere, Arc_KDTree) ---
+    def _arc(s, d):
+        pts = _points(s, d, "supplier").select(
+            "id",
+            (F.col("x") * 0.36 - 180.0).alias("lon"),
+            (F.col("y") * 0.18 - 90.0).alias("lat"),
+        )
+        return _edges_out(arc_knn(pts, 3))
+
+    q["arc_knn"] = _arc
+
+    # --- graph analytics extras ---
+    def _clust(s, d):
+        g = distance_band(_points(s, d, "customer"), CUST_BAND_T)
+        return g.local_clustering().select(
+            "id", F.round(F.col("clustering") + 1e-9, 6).alias("clustering")
+        ).orderBy("id")
+
+    q["local_clustering"] = _clust
+
+    def _components(s, d):
+        g = distance_band(_points(s, d, "customer"), CUST_BAND_T)
+        return g.component_labels().orderBy("id")
+
+    q["connected_components"] = _components
+
+    def _mtd(s, d):
+        tbl = knn_table(_points(s, d, "supplier"), 1)
+        return tbl.agg(F.round(F.max("dist") + 1e-9, 6).alias("min_threshold"))
+
+    q["min_threshold_distance"] = _mtd
+
+    # --- perimeter / bishop lattice variants ---
+    def _perimeter(s, d):
+        pos, _ = _lattice_positions(s, d)
+        return _edges_out(rook(lattice_polygons(s, pos, size=2.0), perimeter=True))
+
+    q["rook_perimeter"] = _perimeter
+
+    def _bishop(s, d):
+        pos, _ = _lattice_positions(s, d)
+        polys = lattice_polygons(s, pos)
+        from libpysal_spark.operators.contiguity import bishop
+
+        return _edges_out(bishop(polys))
+
+    q["bishop"] = _bishop
+
+    # --- clip / remap ---
+    def _clip(s, d):
+        pts = _points(s, d, "customer")
+        a = distance_band(pts, CUST_BAND_T, binary=False, alpha=-1.0)
+        b = knn(pts, KNN_K)
+        return _edges_out(a.w_clip(b), 6)
+
+    q["w_clip"] = _clip
+
+    def _remap(s, d):
+        pts = _points(s, d, "customer")
+        g = distance_band(pts, CUST_BAND_T)
+        mapping = pts.select(F.col("id").alias("old"), (F.col("id") * 2 + 1).alias("new"))
+        return _edges_out(g.remap_ids(mapping))
+
+    q["remap_ids"] = _remap
+
+    # --- coplanar / coincident handling (graph/_kernel.py:310-369) ---
+    def _cliques(s, d):
+        cust = s.read.parquet(f"{d}/customer.parquet")
+        x, y = geocode_exprs("__site")
+        pts = cust.select(
+            F.col("c_custkey").alias("id"), (F.col("c_custkey") % 300).alias("__site")
+        ).select("id", x.alias("x"), y.alias("y"))
+        return _edges_out(unique_site_cliques(pts, 2))
+
+    q["knn_coplanar_cliques"] = _cliques
     return q
 
 
@@ -847,5 +987,252 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    o["raster_contiguity"] = """
+WITH cells AS (
+  SELECT (event_id % 80) AS row, (event_id // 80) AS col
+  FROM events WHERE event_id < 6400 AND value > 0
+),
+pts AS (SELECT row * 80 + col AS id, row, col FROM cells),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor
+  FROM pts a JOIN pts b
+    ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1 AND a.id <> b.id
+)
+""" + _iso_sql()
+
+    o["odw_kron"] = f"""
+WITH {_knn_cte('supplier', 3)},
+nd AS (SELECT count(*) AS n FROM supplier),
+prod AS (
+  SELECT a.focal * nd.n + b.focal AS focal,
+         a.neighbor * nd.n + b.neighbor AS neighbor
+  FROM e a CROSS JOIN e b, nd
+),
+allids AS (SELECT p1.id * nd.n + p2.id AS id FROM pts p1, pts p2, nd)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM prod
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM allids WHERE id NOT IN (SELECT focal FROM prod)
+ORDER BY focal, neighbor"""
+
+    o["netw_shared_endpoint"] = """
+WITH l AS (SELECT s_suppkey AS link_id, CAST(s_nationkey AS BIGINT) AS o,
+                  s_suppkey % 7 AS d FROM supplier),
+e AS (
+  SELECT DISTINCT a.link_id AS focal, b.link_id AS neighbor
+  FROM l a JOIN l b ON a.link_id <> b.link_id
+   AND (a.o = b.o OR a.d = b.d OR a.o = b.d OR a.d = b.o)
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT link_id, link_id, CAST(0.0 AS DOUBLE) FROM l
+WHERE link_id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    xo2, yo2 = geocode_sql("o_orderkey")
+    xc2, yc2 = geocode_sql("o_custkey")
+    _d4 = ("sqrt((a.ox-b.ox)*(a.ox-b.ox) + (a.oy-b.oy)*(a.oy-b.oy)"
+           " + (a.dx-b.dx)*(a.dx-b.dx) + (a.dy-b.dy)*(a.dy-b.dy))")
+    o["vecw_band4d"] = f"""
+WITH pts AS (
+  SELECT o_orderkey AS id, {xo2} AS ox, {yo2} AS oy, {xc2} AS dx, {yc2} AS dy
+  FROM orders WHERE o_orderkey < 3000
+),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor FROM pts a JOIN pts b
+  ON a.id <> b.id AND {_d4} <= 120.0
+)
+{_iso_sql()}"""
+
+    _knn_dist_cte = f"""
+pts AS ({_pts_sql('customer')}),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+kn AS (
+  SELECT focal, neighbor, dist FROM (
+    SELECT focal, neighbor, dist,
+           row_number() OVER (PARTITION BY focal ORDER BY dist ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk <= 10
+)"""
+    _gk = kernel_sql("gaussian", "kn.dist", "bw.bw")
+    o["adaptive_kernel"] = f"""
+WITH {_knn_dist_cte},
+bw AS (SELECT focal, max(dist) AS bw FROM kn GROUP BY focal),
+e AS (
+  SELECT kn.focal, kn.neighbor, CAST(round({_gk}, 6) AS DOUBLE) AS weight
+  FROM kn JOIN bw ON kn.focal = bw.focal
+)
+SELECT focal, neighbor, weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    _tk = kernel_sql("triangular", "kn.dist", "(SELECT max(dist) * 1.0000001 FROM kn)")
+    o["kernel_fixed_knn_bw"] = f"""
+WITH {_knn_dist_cte},
+e AS (SELECT kn.focal, kn.neighbor, CAST(round({_tk}, 6) AS DOUBLE) AS weight FROM kn)
+SELECT focal, neighbor, weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    xs3, ys3 = geocode_sql("s_suppkey")
+    o["arc_knn"] = f"""
+WITH ll AS (
+  SELECT s_suppkey AS id, ({xs3}) * 0.36 - 180.0 AS lon, ({ys3}) * 0.18 - 90.0 AS lat
+  FROM supplier
+),
+pts AS (SELECT id, lon AS x, lat AS y FROM ll),
+xyz AS (
+  SELECT id,
+         cos(radians(lat)) * cos(radians(lon)) AS x3,
+         cos(radians(lat)) * sin(radians(lon)) AS y3,
+         sin(radians(lat)) AS z3
+  FROM ll
+),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x3-b.x3)*(a.x3-b.x3) + (a.y3-b.y3)*(a.y3-b.y3) + (a.z3-b.z3)*(a.z3-b.z3)) AS chord
+  FROM xyz a JOIN xyz b ON a.id <> b.id
+),
+e AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor,
+           row_number() OVER (PARTITION BY focal ORDER BY chord ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk <= 3
+)
+{_iso_sql()}"""
+
+    _band_cust = f"""
+pts AS ({_pts_sql('customer')}),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND abs(a.x-b.x) <= {CUST_BAND_T} AND abs(a.y-b.y) <= {CUST_BAND_T}
+   AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {CUST_BAND_T}
+)"""
+    o["local_clustering"] = f"""
+WITH {_band_cust},
+deg AS (SELECT focal AS id, count(*) AS k FROM e GROUP BY focal),
+tri AS (
+  SELECT a.focal AS id, count(*) AS t
+  FROM e a
+  JOIN e b ON a.focal = b.focal AND a.neighbor <> b.neighbor
+  JOIN e c ON c.focal = a.neighbor AND c.neighbor = b.neighbor
+  GROUP BY a.focal
+)
+SELECT pts.id,
+       CAST(round(CASE WHEN coalesce(deg.k, 0) > 1
+                  THEN coalesce(tri.t, 0) / (deg.k * (deg.k - 1))
+                  ELSE 0.0 END + 1e-9, 6) AS DOUBLE) AS clustering
+FROM pts LEFT JOIN deg ON pts.id = deg.id LEFT JOIN tri ON pts.id = tri.id
+ORDER BY pts.id"""
+
+    o["connected_components"] = f"""
+WITH RECURSIVE {_band_cust},
+sym AS (SELECT focal, neighbor FROM e UNION SELECT neighbor, focal FROM e),
+reach(a, b) AS (
+  SELECT focal AS a, neighbor AS b FROM sym
+  UNION
+  SELECT r.a, s.neighbor FROM reach r JOIN sym s ON r.b = s.focal
+)
+SELECT pts.id, CAST(least(pts.id, coalesce(m.mn, pts.id)) AS BIGINT) AS component
+FROM pts LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m ON pts.id = m.a
+ORDER BY pts.id"""
+
+    o["min_threshold_distance"] = f"""
+WITH pts AS ({_pts_sql('supplier')}),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+kn AS (
+  SELECT focal, dist FROM (
+    SELECT focal, dist, row_number() OVER (PARTITION BY focal ORDER BY dist ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)
+SELECT CAST(round(max(dist) + 1e-9, 6) AS DOUBLE) AS min_threshold FROM kn"""
+
+    o["rook_perimeter"] = f"""
+WITH {_lattice_cte()}, {_lattice_edges('rook')}
+SELECT focal, neighbor, CAST(2.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["bishop"] = f"""
+WITH {_lattice_cte()},
+e AS (SELECT a.id AS focal, b.id AS neighbor FROM xy a JOIN xy b
+      ON abs(a.gx-b.gx) = 1 AND abs(a.gy-b.gy) = 1)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["w_clip"] = f"""
+WITH {_band_cust},
+kn AS (
+  SELECT focal, neighbor FROM (
+    SELECT a.id AS focal, b.id AS neighbor,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) ASC,
+                                       b.id ASC) AS rk
+    FROM pts a JOIN pts b ON a.id <> b.id
+  ) WHERE rk <= {KNN_K}
+),
+clip AS (
+  SELECT e.focal, e.neighbor, CAST(round(1.0 / e.dist, 6) AS DOUBLE) AS weight
+  FROM e JOIN kn ON e.focal = kn.focal AND e.neighbor = kn.neighbor
+)
+SELECT focal, neighbor, weight FROM clip
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM clip)
+ORDER BY focal, neighbor"""
+
+    o["remap_ids"] = f"""
+WITH {_band_cust}
+SELECT focal * 2 + 1 AS focal, neighbor * 2 + 1 AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id * 2 + 1, id * 2 + 1, CAST(0.0 AS DOUBLE) FROM pts
+WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    xsite, ysite = geocode_sql("site")
+    o["knn_coplanar_cliques"] = f"""
+WITH base AS (SELECT c_custkey AS id, c_custkey % 300 AS site FROM customer),
+pts AS (SELECT id, {xsite} AS x, {ysite} AS y FROM base),
+sites AS (SELECT x, y, min(id) AS site_id FROM pts GROUP BY x, y),
+scand AS (
+  SELECT a.site_id AS f, b.site_id AS n,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM sites a JOIN sites b ON a.site_id <> b.site_id
+),
+sknn AS (
+  SELECT f, n FROM (
+    SELECT f, n, row_number() OVER (PARTITION BY f ORDER BY dist ASC, n ASC) AS rk
+    FROM scand
+  ) WHERE rk <= 2
+),
+members AS (SELECT pts.id, sites.site_id FROM pts JOIN sites ON pts.x = sites.x AND pts.y = sites.y),
+expanded AS (
+  SELECT mf.id AS focal, mn.id AS neighbor
+  FROM sknn JOIN members mf ON mf.site_id = sknn.f JOIN members mn ON mn.site_id = sknn.n
+),
+cliques AS (
+  SELECT a.id AS focal, b.id AS neighbor
+  FROM members a JOIN members b ON a.site_id = b.site_id AND a.id <> b.id
+),
+e AS (SELECT DISTINCT focal, neighbor FROM (
+  SELECT focal, neighbor FROM expanded UNION ALL SELECT focal, neighbor FROM cliques))
+{_iso_sql()}"""
 
     return o

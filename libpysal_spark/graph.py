@@ -41,12 +41,19 @@ def canonicalize(edges: DataFrame) -> DataFrame:
     ).orderBy("focal", "neighbor")
 
 
-def resolve_isolates(edges: DataFrame, ids: DataFrame) -> DataFrame:
+def resolve_isolates(edges: DataFrame, ids: DataFrame, persist: bool = True) -> DataFrame:
     """Add zero-weight self-loops for ids with no edges.
 
     ``ids`` must have a single column ``id`` (the node universe).
     Reference: graph/_utils.py:248-272 ``_resolve_islands``.
+
+    The result unions two branches over the same ``edges`` subtree (the edges
+    themselves + the anti-join that finds isolates); without reuse Spark
+    computes the upstream join twice. ``persist=True`` marks the edge branch
+    for reuse — on a cluster this would be a checkpoint to storage.
     """
+    if persist:
+        edges = edges.persist()
     isolates = (
         ids.join(edges.select(F.col("focal").alias("id")).distinct(), "id", "left_anti")
         .select(
@@ -477,6 +484,133 @@ class Graph:
             F.sum("weight").alias("s0"),
         )
         return base.crossJoin(s1).crossJoin(s2)
+
+    def w_clip(self, other: "Graph") -> "Graph":
+        """Elementwise multiply by the binary pattern of ``other``
+        (weights/set_operations.py:389)."""
+        b = _real_edges(other.edges).select("focal", "neighbor")
+        e = _real_edges(self.edges).join(b, ["focal", "neighbor"], "left_semi")
+        return Graph(resolve_isolates(e.select(*EDGE_COLS), self._ids()))
+
+    def remap_ids(self, mapping: DataFrame) -> "Graph":
+        """Relabel nodes via (old, new) mapping (weights/weights.py:868-925)."""
+        mf = mapping.select(F.col("old").alias("focal"), F.col("new").alias("__nf"))
+        mn = mapping.select(F.col("old").alias("neighbor"), F.col("new").alias("__nn"))
+        e = (
+            self.edges.join(mf, "focal")
+            .join(mn, "neighbor")
+            .select(
+                F.col("__nf").alias("focal"),
+                F.col("__nn").alias("neighbor"),
+                F.col("weight"),
+            )
+        )
+        return Graph(e, self.transformation)
+
+    def neighbor_equality(self, other: "Graph") -> bool:
+        """Set equality of neighbor sets (weights/util.py:1236-1286)."""
+        a = _real_edges(self.edges).select("focal", "neighbor")
+        b = _real_edges(other.edges).select("focal", "neighbor")
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def component_labels(self, max_iters: int = 60) -> DataFrame:
+        """(id, component) — connected components of the undirected pattern.
+
+        Reference: scipy connected_components (weights/weights.py:549-569,
+        graph/base.py:1904-1931). Distributed strategy: alternating
+        large-star / small-star contraction (Kiveris et al., "Connected
+        Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+        O(log^2 n) rounds w.h.p., each round two groupBy/join passes over the
+        shrinking edge set, lineage cut by localCheckpoint (on a cluster: a
+        checkpoint to storage — the resume point). Deterministic: labels are
+        component-min node ids.
+        """
+
+        def star(e: DataFrame, large: bool) -> DataFrame:
+            nbrs = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m = nbrs.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            j = nbrs.join(m, "u")
+            if large:
+                # attach strictly-greater neighbors to u's min
+                out = j.filter(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )
+            else:
+                out = (
+                    j.filter(F.col("v") <= F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+                )
+            return out.filter(F.col("u") != F.col("v")).distinct()
+
+        e = (
+            _real_edges(self.edges)
+            .select(F.col("focal").alias("u"), F.col("neighbor").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        for _ in range(max_iters):
+            e1 = star(e, large=True).localCheckpoint()
+            e2 = star(e1, large=False).localCheckpoint()
+            unchanged = e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+            e.unpersist()
+            e1.unpersist()
+            e = e2
+            if unchanged:
+                break
+        # converged edge set is a union of stars (child -> root)
+        roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        return (
+            self._ids()
+            .join(roots, "id", "left")
+            .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        )
+
+    def n_components(self) -> int:
+        return self.component_labels().select("component").distinct().count()
+
+    def local_clustering(self) -> DataFrame:
+        """Local clustering coefficient (weights/util.py:556-607):
+        |{(j,k) edges with j,k in N(i)}| / (k_i * (k_i - 1)).
+
+        Triangle counting as a 2-hop join: edges (i,j) x edges (i,k) semi-
+        joined against the edge set on (j,k).
+        """
+        e = _real_edges(self.edges).select("focal", "neighbor").distinct().persist()
+        deg = e.groupBy(F.col("focal").alias("id")).agg(F.count("*").alias("__k"))
+        jk = (
+            e.select(F.col("focal").alias("i"), F.col("neighbor").alias("j"))
+            .join(e.select(F.col("focal").alias("i"), F.col("neighbor").alias("k")), "i")
+            .filter(F.col("j") != F.col("k"))
+        )
+        tri = (
+            jk.join(
+                e.select(F.col("focal").alias("j"), F.col("neighbor").alias("k")),
+                ["j", "k"],
+                "left_semi",
+            )
+            .groupBy(F.col("i").alias("id"))
+            .agg(F.count("*").alias("__t"))
+        )
+        return (
+            self._ids()
+            .join(deg, "id", "left")
+            .join(tri, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.coalesce("__k", F.lit(0)) > 1,
+                    F.coalesce("__t", F.lit(0)) / (F.col("__k") * (F.col("__k") - 1)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("clustering"),
+            )
+        )
 
     def islands(self) -> DataFrame:
         """Ids encoded as isolates (zero-weight self loops)."""

@@ -1,0 +1,99 @@
+"""Weights-file IO: GAL, GWT, Parquet-with-metadata.
+
+Reference formats:
+- GAL (io/iohandlers/gal.py:16, graph/io/_gal.py:4-60): header = n, then per
+  node a line ``id k`` followed by a line of k neighbor ids;
+- GWT (io/iohandlers/gwt.py:40, graph/io/_gwt.py): optional header
+  ``0 n shp varname``, then ``focal neighbor weight`` triplets;
+- Graph parquet (graph/io/_parquet.py:6-72): the adjacency table plus
+  metadata carrying the transformation tag + version.
+
+GAL/GWT are small golden artifacts (test fixtures), so reading is
+driver-side text parsing into a DataFrame; writing collects the canonical
+edge table. The engine's native interchange is Parquet: the edge DataFrame
+written with a ``transformation`` tag, at scale partitioned by a coarse tile
+column — metadata travels in a sidecar JSON (parquet key-value metadata is
+writer-level in Spark, a sidecar is explicit and engine-neutral).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from libpysal_spark.graph import Graph, resolve_isolates
+
+
+def read_gal(spark: SparkSession, path: str) -> Graph:
+    lines = [ln.split() for ln in open(path).read().strip().splitlines()]
+    header = lines[0]
+    # header may be "n" or "0 n shp var" (io/iohandlers/gal.py header modes)
+    i = 1
+    rows, ids = [], []
+    while i < len(lines):
+        node, k = int(lines[i][0]), int(lines[i][1])
+        ids.append(node)
+        if k > 0:
+            for nb in lines[i + 1]:
+                rows.append((node, int(nb), 1.0))
+            i += 2
+        else:
+            i += 1
+    edges = spark.createDataFrame(rows, "focal long, neighbor long, weight double")
+    id_df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return Graph(resolve_isolates(edges, id_df))
+
+
+def write_gal(g: Graph, path: str) -> None:
+    neighbors, _ = g.neighbor_dicts()
+    with open(path, "w") as f:
+        f.write(f"{len(neighbors)}\n")
+        for node in sorted(neighbors):
+            nbrs = neighbors[node]
+            f.write(f"{node} {len(nbrs)}\n")
+            if nbrs:
+                f.write(" ".join(str(n) for n in nbrs) + "\n")
+
+
+def read_gwt(spark: SparkSession, path: str) -> Graph:
+    lines = open(path).read().strip().splitlines()
+    start = 1 if len(lines[0].split()) != 3 else 0
+    rows = []
+    for ln in lines[start:]:
+        a, b, w = ln.split()
+        rows.append((int(a), int(b), float(w)))
+    edges = spark.createDataFrame(rows, "focal long, neighbor long, weight double")
+    return Graph(resolve_isolates(edges, edges.select(F.col("focal").alias("id")).distinct()))
+
+
+def write_gwt(g: Graph, path: str, shp: str = "unknown", varname: str = "id") -> None:
+    pdf = g.sorted().toPandas()
+    real = pdf[~((pdf.focal == pdf.neighbor) & (pdf.weight == 0.0))]
+    with open(path, "w") as f:
+        n = pdf["focal"].nunique()
+        f.write(f"0 {n} {shp} {varname}\n")
+        for fo, ne, w in real.itertuples(index=False):
+            f.write(f"{fo} {ne} {w}\n")
+
+
+def write_parquet(g: Graph, path: str, partition_cols: list[str] | None = None) -> None:
+    """Edge table + sidecar metadata (graph/io/_parquet.py:6-36 analog)."""
+    writer = g.sorted().write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    meta = {"transformation": g.transformation, "version": "libpysal_spark-0.1.0"}
+    with open(os.path.join(path, "_graph_metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_parquet(spark: SparkSession, path: str) -> Graph:
+    edges = spark.read.parquet(path)
+    meta_path = os.path.join(path, "_graph_metadata.json")
+    transformation = "O"
+    if os.path.exists(meta_path):
+        transformation = json.load(open(meta_path)).get("transformation", "O")
+    return Graph(edges, transformation)

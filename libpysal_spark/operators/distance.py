@@ -118,9 +118,22 @@ def knn(
     cell_size: float | None = None,
     initial_ring: int = 1,
     max_rounds: int = 5,
-    coincident: str = "clique",
 ) -> Graph:
-    """K nearest neighbors, self excluded, binary weights.
+    """K nearest neighbors, self excluded, binary weights."""
+    edges = knn_table(points, k, cell_size, initial_ring, max_rounds).select(
+        "focal", "neighbor"
+    ).withColumn("weight", F.lit(1.0))
+    return Graph(resolve_isolates(edges, points.select("id")))
+
+
+def knn_table(
+    points: DataFrame,
+    k: int,
+    cell_size: float | None = None,
+    initial_ring: int = 1,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """(focal, neighbor, dist) k-nearest-neighbor table.
 
     Reference: weights/distance.py:33-164 / graph/_kernel.py:264-369 (KDTree
     ``query(k=k+1)``). Distributed strategy — ring expansion:
@@ -150,22 +163,27 @@ def knn(
         ).first()
         area = max((bounds.x1 - bounds.x0) * (bounds.y1 - bounds.y0), 1e-12)
         density = n / area
-        # aim: one ring-1 block (9 cells) holds ~ 4k points
-        cell_size = max((4.0 * k / (9.0 * density)) ** 0.5, 1e-9)
+        # E[kth-NN dist] ~ sqrt((k+1)/(pi*rho)); size the cell so the ring-1
+        # guarantee (r*s = s) covers ~1.6x that => ~99% of foci resolve in
+        # round one and later rounds touch only the sparse-region residue.
+        import math
 
-    spark = points.sparkSession
+        cell_size = max(1.6 * math.sqrt((k + 1) / (math.pi * density)), 1e-9)
+
+    all_pts = with_cells(pts, float(cell_size)).persist()
+    right = all_pts.select(
+        F.col("id").alias("neighbor"),
+        F.col("x").alias("x_n"),
+        F.col("y").alias("y_n"),
+        F.col("cell").alias("cell_r"),
+    )
     resolved_parts: list[DataFrame] = []
-    unresolved = with_cells(pts, float(cell_size))
+    unresolved = all_pts
+    n_unresolved = n
     r = initial_ring
     for _ in range(max_rounds):
-        if unresolved.isEmpty():
+        if n_unresolved == 0:
             break
-        right = with_cells(pts, float(cell_size)).select(
-            F.col("id").alias("neighbor"),
-            F.col("x").alias("x_n"),
-            F.col("y").alias("y_n"),
-            F.col("cell").alias("cell_r"),
-        )
         probes = explode_to_ring(unresolved, r).select(
             F.col("id").alias("focal"),
             F.col("x").alias("x_f"),
@@ -178,23 +196,29 @@ def knn(
             .withColumn("dist", _dist())
         )
         wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
+        guarantee = float(r) * float(cell_size)
+        # rank, truncate to k, and decide resolution in ONE pass: a focal is
+        # resolved iff its kth candidate exists and is within the guarantee.
         topk = (
             cand.withColumn("__rk", F.row_number().over(wnd))
             .filter(F.col("__rk") <= k)
-            .select("focal", "neighbor", "dist", "__rk")
+            .withColumn(
+                "__ok",
+                (F.max(F.when(F.col("__rk") == k, F.col("dist"))).over(
+                    Window.partitionBy("focal")
+                ) <= guarantee),
+            )
+        ).persist()
+        resolved_parts.append(
+            topk.filter(F.col("__ok")).select("focal", "neighbor", "dist")
         )
-        guarantee = float(r) * float(cell_size)
-        stats = topk.groupBy("focal").agg(
-            F.count("*").alias("__cnt"), F.max("dist").alias("__kth")
-        )
-        ok = stats.filter((F.col("__cnt") >= k) & (F.col("__kth") <= guarantee)).select("focal")
-        resolved_parts.append(topk.join(ok, "focal", "left_semi").select("focal", "neighbor"))
-        unresolved = unresolved.join(
-            ok.withColumnRenamed("focal", "id"), "id", "left_anti"
-        )
+        ok_ids = topk.filter(F.col("__ok")).select(F.col("focal").alias("id")).distinct()
+        n_ok = ok_ids.count()
+        unresolved = unresolved.join(ok_ids, "id", "left_anti")
+        n_unresolved -= n_ok
         r *= 2
 
-    if not unresolved.isEmpty():
+    if n_unresolved > 0:
         # residue: brute-force against all points; unresolved side is small →
         # broadcast it and let the full table stream past.
         left = F.broadcast(
@@ -216,17 +240,78 @@ def knn(
         resolved_parts.append(
             cand.withColumn("__rk", F.row_number().over(wnd))
             .filter(F.col("__rk") <= k)
-            .select("focal", "neighbor")
+            .select("focal", "neighbor", "dist")
         )
 
     if resolved_parts:
-        edges = resolved_parts[0]
+        out = resolved_parts[0]
         for p in resolved_parts[1:]:
-            edges = edges.unionByName(p)
+            out = out.unionByName(p)
     else:
-        edges = spark.createDataFrame([], "focal long, neighbor long")
-    edges = edges.withColumn("weight", F.lit(1.0))
-    return Graph(resolve_isolates(edges, pts.select("id")))
+        out = points.sparkSession.createDataFrame(
+            [], "focal long, neighbor long, dist double"
+        )
+    return out
+
+
+def adaptive_kernel(
+    points: DataFrame,
+    k: int,
+    kernel: str = "gaussian",
+    taper: bool = True,
+    fixed: bool = False,
+    eps: float = 1.0000001,
+) -> Graph:
+    """Kernel weights with kNN-derived bandwidth.
+
+    Reference: weights/distance.py:687-700 ``_set_bw`` / graph/_kernel.py
+    bandwidth resolution — ``fixed=True``: one global bandwidth =
+    eps * max kth-NN distance; ``fixed=False`` (adaptive): per-point
+    bandwidth = own kth-NN distance.
+
+    Candidates = the (k)-NN table itself (the reference evaluates the kernel
+    over the same kNN candidate structure); bandwidth is a window max —
+    no extra shuffle beyond the kNN build.
+    """
+    tbl = knn_table(points, k)
+    if fixed:
+        bw_row = tbl.agg(F.max("dist")).first()
+        bw = float(bw_row[0]) * eps
+        w = kernel_expr(kernel, F.col("dist"), F.lit(bw), taper=taper)
+        edges = tbl.select("focal", "neighbor", w.alias("weight"))
+    else:
+        wnd = Window.partitionBy("focal")
+        tbl = tbl.withColumn("__bw", F.max("dist").over(wnd))
+        w = kernel_expr(kernel, F.col("dist"), F.col("__bw"), taper=taper)
+        edges = tbl.select("focal", "neighbor", w.alias("weight"))
+    return Graph(resolve_isolates(edges, points.select("id")))
+
+
+def unique_site_cliques(points: DataFrame, k: int) -> Graph:
+    """kNN with coincident-point 'clique' handling.
+
+    Reference: graph/_kernel.py:310-369 + graph/_utils.py:65-126
+    ``_induce_cliques`` — web-scale geocodes collide (many pages -> one
+    point). Strategy: collapse to unique sites (min id is the site rep),
+    run kNN over sites, then (a) expand site-site edges to all member pairs
+    and (b) connect co-located members as a clique.
+    """
+    sites = points.groupBy("x", "y").agg(F.min("id").alias("site"))
+    members = points.join(sites, ["x", "y"]).select("id", "site", "x", "y")
+    site_pts = sites.select(F.col("site").alias("id"), "x", "y")
+    gsite = knn_table(site_pts, k).select(
+        F.col("focal").alias("fsite"), F.col("neighbor").alias("nsite")
+    )
+    mf = members.select(F.col("site").alias("fsite"), F.col("id").alias("focal"))
+    mn = members.select(F.col("site").alias("nsite"), F.col("id").alias("neighbor"))
+    expanded = gsite.join(mf, "fsite").join(mn, "nsite").select("focal", "neighbor")
+    ma = members.select("site", F.col("id").alias("focal"))
+    mb = members.select("site", F.col("id").alias("neighbor"))
+    cliques = (
+        ma.join(mb, "site").filter(F.col("focal") != F.col("neighbor")).select("focal", "neighbor")
+    )
+    edges = expanded.unionByName(cliques).distinct().withColumn("weight", F.lit(1.0))
+    return Graph(resolve_isolates(edges, points.select("id")))
 
 
 def min_threshold_distance(points: DataFrame) -> float:

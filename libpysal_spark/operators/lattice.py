@@ -45,23 +45,26 @@ def lat2w(spark: SparkSession, nrows: int, ncols: int, criterion: str = "rook") 
     return Graph(edges)
 
 
-def lattice_polygons(spark: SparkSession, positions: DataFrame) -> DataFrame:
-    """Unit-square polygon layer from (id, gx, gy) positions.
+def lattice_polygons(spark: SparkSession, positions: DataFrame, size: float = 1.0) -> DataFrame:
+    """Square polygon layer from (id, gx, gy) grid positions.
 
-    Produces the contiguity-operator input contract
-    ``(id, vertices: array<struct<x, y>>)`` with closed rings — the Spark
-    analog of ``build_lattice_shapefile`` (reference: weights/user.py:102).
+    Squares of side ``size`` at (gx*size, gy*size) — adjacent grid positions
+    share full edges of length ``size``. Produces the contiguity-operator
+    input contract ``(id, vertices: array<struct<x, y>>)`` with closed rings —
+    the Spark analog of ``build_lattice_shapefile`` (reference:
+    weights/user.py:102).
     """
-    gx, gy = F.col("gx").cast("double"), F.col("gy").cast("double")
+    s = float(size)
+    gx, gy = F.col("gx").cast("double") * s, F.col("gy").cast("double") * s
 
     def pt(xe, ye):
         return F.struct(xe.alias("x"), ye.alias("y"))
 
     ring = F.array(
         pt(gx, gy),
-        pt(gx + 1, gy),
-        pt(gx + 1, gy + 1),
-        pt(gx, gy + 1),
+        pt(gx + s, gy),
+        pt(gx + s, gy + s),
+        pt(gx, gy + s),
         pt(gx, gy),
     )
     return positions.select("id", ring.alias("vertices"))

@@ -1,0 +1,82 @@
+"""Lineage manifest + exact resume semantics (north_rule)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.operators.distance import distance_band
+from libpysal_spark.pages import document_points
+from libpysal_spark.plans.lineage import (
+    load_manifest, tile_bucket, verify, write_with_lineage,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    g = distance_band(document_points(spark, SF), 30.0)
+    return g.edges.withColumn("bucket", tile_bucket("focal", 8)).persist()
+
+
+def test_write_verify_resume(spark, edges, tmp_path):
+    path = str(tmp_path / "edges")
+    total = edges.count()
+
+    # simulate a partial (failed) run: only buckets 0-3 got written
+    partial = edges.filter(F.col("bucket") < 4)
+    m1 = write_with_lineage(partial, path, "bucket")
+    assert len(m1["partitions"]) == 4
+    assert all(v["status"] == "committed" for v in m1["partitions"].values())
+
+    # resume with the FULL dataset: only the missing buckets are appended
+    m2 = write_with_lineage(edges, path, "bucket")
+    assert len(m2["partitions"]) == 8
+    stored = spark.read.parquet(path)
+    assert stored.count() == total
+
+    # committed partitions were not rewritten: checksums unchanged from m1
+    for k, v in m1["partitions"].items():
+        assert m2["partitions"][k]["checksum"] == v["checksum"]
+        assert m2["partitions"][k]["committed_at"] == v["committed_at"]
+
+    # storage matches manifest exactly
+    assert set(verify(spark, path).values()) == {"ok"}
+
+
+def test_verify_detects_corruption(spark, edges, tmp_path):
+    path = str(tmp_path / "edges2")
+    write_with_lineage(edges, path, "bucket")
+    # corrupt the manifest's checksum for one partition
+    mp = os.path.join(path, "_lineage.json")
+    m = json.load(open(mp))
+    k = sorted(m["partitions"])[0]
+    m["partitions"][k]["checksum"] += 1
+    json.dump(m, open(mp, "w"))
+    res = verify(spark, path)
+    assert res[k] == "mismatch"
+    assert sum(1 for v in res.values() if v == "ok") == len(res) - 1
+
+
+def test_resume_noop_when_complete(spark, edges, tmp_path):
+    path = str(tmp_path / "edges3")
+    write_with_lineage(edges, path, "bucket")
+    before = json.load(open(os.path.join(path, "_lineage.json")))
+    write_with_lineage(edges, path, "bucket")  # all committed -> no-op
+    after = json.load(open(os.path.join(path, "_lineage.json")))
+    assert before == after
+
+
+def test_checksum_partition_invariant(spark, edges, tmp_path):
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    m1 = write_with_lineage(edges.repartition(3), p1, "bucket")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    m2 = write_with_lineage(edges.repartition(17), p2, "bucket")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    a = {k: v["checksum"] for k, v in m1["partitions"].items()}
+    b = {k: v["checksum"] for k, v in m2["partitions"].items()}
+    assert a == b

@@ -1,0 +1,200 @@
+"""Raster, spint (ODW/netW/vecW), sphere, adaptive kernel, coplanar, IO."""
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.graph import Graph
+from libpysal_spark.io.weights_io import (
+    read_gal, read_gwt, read_parquet, write_gal, write_gwt, write_parquet,
+)
+from libpysal_spark.functions.sphere import arc_knn, chord_to_arcdist, haversine_expr
+from libpysal_spark.operators.distance import adaptive_kernel, knn_table, unique_site_cliques
+from libpysal_spark.operators.lattice import lat2w
+from libpysal_spark.operators.raster import raster_contiguity
+from libpysal_spark.operators.spint import netw, odw, vecw
+
+
+def _nbrs(g: Graph) -> dict:
+    n, _ = g.neighbor_dicts()
+    return {k: set(v) for k, v in n.items()}
+
+
+def test_raster_rook_nodata(spark):
+    # 3x3, center cell dead: neighbors route around it (k=1)
+    cells = spark.createDataFrame(
+        [(0, r, c) for r in range(3) for c in range(3) if not (r == 1 and c == 1)],
+        "band int, row int, col int",
+    )
+    n = _nbrs(raster_contiguity(cells, 3, 3, "rook"))
+    assert n[0] == {1, 3}
+    assert 4 not in n
+    assert n[1] == {0, 2}  # not 4 (dead)
+
+
+def test_raster_k2_respects_nodata_paths(spark):
+    # 1x5 strip with cell (0,2) dead: 0 cannot reach 3 in 2 rook steps
+    cells = spark.createDataFrame(
+        [(0, 0, c) for c in range(5) if c != 2], "band int, row int, col int"
+    )
+    n = _nbrs(raster_contiguity(cells, 1, 5, "rook", k=2))
+    assert n[0] == {1}
+    assert n[3] == {4}
+
+
+def test_raster_multiband(spark):
+    cells = spark.createDataFrame(
+        [(b, r, c) for b in range(2) for r in range(2) for c in range(2)],
+        "band int, row int, col int",
+    )
+    n = _nbrs(raster_contiguity(cells, 2, 2, "queen"))
+    # bands do not connect; ids: band*4 + row*2 + col
+    assert n[0] == {1, 2, 3}
+    assert n[4] == {5, 6, 7}
+
+
+def test_odw_matches_kron(spark):
+    wo = lat2w(spark, 2, 2, "rook")
+    wd = lat2w(spark, 1, 3, "rook")
+    g = odw(wo, wd, 3)
+    got = {(r.focal, r.neighbor): r.weight for r in g.edges.collect() if r.weight != 0.0}
+
+    def dense(graph, n):
+        m = np.zeros((n, n))
+        for r in graph.edges.collect():
+            if not (r.focal == r.neighbor and r.weight == 0.0):
+                m[r.focal, r.neighbor] = r.weight
+        return m
+
+    want = np.kron(dense(wo, 4), dense(wd, 3))
+    ii, jj = np.nonzero(want)
+    assert got == {(int(i), int(j)): want[i, j] for i, j in zip(ii, jj)}
+
+
+def test_netw_modes(spark):
+    links = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3), (2, 3, 4), (3, 1, 4)], "link_id long, o long, d long"
+    )
+    assert _nbrs(netw(links, "O"))[0] == {3}
+    assert _nbrs(netw(links, "D"))[2] == {3}
+    assert _nbrs(netw(links, "OD"))[0] == {1}  # d of 0 (=2) is o of 1
+    assert _nbrs(netw(links, "A"))[0] == {1, 3}
+
+
+def test_vecw_bruteforce(spark):
+    rows = [
+        (i, float(i % 6), float(i // 6), float((i * 5) % 8), float((i * 5) // 8))
+        for i in range(40)
+    ]
+    flows = spark.createDataFrame(rows, "id long, ox double, oy double, dx double, dy double")
+    a = np.array([r[1:] for r in rows])
+    d = np.sqrt(((a[:, None, :] - a[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    t = 3.0
+    want = {(int(i), int(j)) for i, j in zip(*np.where(d <= t))}
+    got = {
+        (r.focal, r.neighbor)
+        for r in vecw(flows, t).edges.collect()
+        if not (r.focal == r.neighbor and r.weight == 0.0)
+    }
+    assert got == want
+
+
+def test_adaptive_kernel_bandwidth(spark):
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 3.0, 0.0), (3, 10.0, 0.0)],
+        "id long, x double, y double",
+    )
+    g = adaptive_kernel(pts, 2, "triangular")
+    w = {(r.focal, r.neighbor): r.weight for r in g.edges.collect()}
+    # focal 0: knn {1 (d=1), 2 (d=3)} -> bw = 3; w(0,1) = 1 - 1/3
+    assert abs(w[(0, 1)] - (1 - 1 / 3)) < 1e-12
+    assert w[(0, 2)] == 0.0  # kth point sits at bandwidth: 1 - 1 = 0
+
+
+def test_adaptive_kernel_fixed(spark):
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 3.0, 0.0)], "id long, x double, y double"
+    )
+    g = adaptive_kernel(pts, 1, "triangular", fixed=True, eps=1.0)
+    w = {(r.focal, r.neighbor): r.weight for r in g.edges.collect()}
+    # global bw = max 1st-NN dist = d(2,1) = 2
+    assert abs(w[(0, 1)] - 0.5) < 1e-12
+
+
+def test_unique_site_cliques(spark):
+    # 4 sites at x=0,1,2,3 with 3 coincident points each
+    pts = spark.createDataFrame(
+        [(i, float(i // 3), 0.0) for i in range(12)], "id long, x double, y double"
+    )
+    g = unique_site_cliques(pts, 1)
+    n = _nbrs(g)
+    # point 0 (site 0): clique with 1,2 + site-knn edge to site 1 members 3,4,5
+    assert n[0] == {1, 2, 3, 4, 5}
+    assert n[11] == {9, 10, 6, 7, 8}
+
+
+def test_arc_knn_quarter_circumference(spark):
+    # cg/kdtree.py:102-109 sanity set
+    pts = spark.createDataFrame(
+        [(0, 0.0, 90.0), (1, 0.0, 0.0), (2, 180.0, 0.0), (3, 0.0, -90.0)],
+        "id long, lon double, lat double",
+    )
+    g = arc_knn(pts, 2)
+    n = _nbrs(g)
+    # pole's two nearest (quarter circumference, tie) = lowest ids {1, 2}
+    assert n[0] == {1, 2}
+    assert n[1] == {0, 3}
+
+
+def test_haversine_half_circumference(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 180.0, 0.0)], "lon1 double, lat1 double, lon2 double, lat2 double")
+    d = df.select(haversine_expr(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")).first().d
+    assert abs(d - math.pi * 6371.0) < 1e-6
+    assert abs(chord_to_arcdist(2.0) - math.pi * 6371.0) < 1e-6
+
+
+def test_io_roundtrips(spark, tmp_path):
+    g = lat2w(spark, 3, 3, "rook")
+    gal = str(tmp_path / "w.gal")
+    write_gal(g, gal)
+    assert g.equals(read_gal(spark, gal))
+    gwt = str(tmp_path / "w.gwt")
+    write_gwt(g.transform("R"), gwt)
+    g2 = read_gwt(spark, gwt)
+    assert abs(
+        g2.edges.filter((F.col("focal") == 0) & (F.col("neighbor") == 1)).first().weight - 0.5
+    ) < 1e-12
+    pq = str(tmp_path / "w.parquet")
+    write_parquet(g.transform("R"), pq)
+    g3 = read_parquet(spark, pq)
+    assert g3.transformation == "R"
+    assert g.transform("R").equals(g3)
+
+
+def test_components_and_clustering(spark):
+    g = Graph.from_dicts(spark, {0: [1], 1: [0], 2: [3], 3: [2], 9: []})
+    labs = {r.id: r.component for r in g.component_labels().collect()}
+    assert labs == {0: 0, 1: 0, 2: 2, 3: 2, 9: 9}
+    assert g.n_components() == 3
+    tri = Graph.from_dicts(spark, {0: [1, 2], 1: [0, 2], 2: [0, 1], 3: [0]})
+    cl = {r.id: r.clustering for r in tri.local_clustering().collect()}
+    assert cl[0] == 1.0 and cl[3] == 0.0
+
+
+def test_w_clip_and_remap(spark):
+    a = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
+    b = Graph.from_dicts(spark, {0: [1], 1: [0], 2: []})
+    clipped = {
+        (r.focal, r.neighbor)
+        for r in a.w_clip(b).edges.collect()
+        if not (r.focal == r.neighbor and r.weight == 0.0)
+    }
+    assert clipped == {(0, 1), (1, 0)}
+    mapping = spark.createDataFrame([(0, 100), (1, 101), (2, 102)], "old long, new long")
+    remapped = _nbrs(a.remap_ids(mapping))
+    assert remapped[100] == {101, 102}
