@@ -552,6 +552,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _edges_out(unique_site_cliques(pts, 2))
 
     q["knn_coplanar_cliques"] = _cliques
+
+    # --- triangulation: Delaunay / Voronoi duality (no SQL oracle — Delaunay
+    # is not SQL-expressible; the driver records the weaker rows-only check;
+    # exactness is covered by tests/test_delaunay.py property checks) ---
+    def _delaunay(s, d):
+        from libpysal_spark.operators.delaunay import delaunay
+
+        return _edges_out(delaunay(_points(s, d, "supplier")))
+
+    q["delaunay"] = _delaunay
+
+    def _voronoi(s, d):
+        from libpysal_spark.operators.delaunay import voronoi_weights
+
+        return _edges_out(voronoi_weights(_points(s, d, "supplier")))
+
+    q["voronoi"] = _voronoi
+
+    # --- embedding near-duplicates (training-data op) ---
+    def _embdup(s, d):
+        emb = _emb(s, d)
+        from libpysal_spark.text.ann import _cosine
+
+        a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__a"))
+        b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__b"))
+        return (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cosine", F.round(_cosine("__a", "__b"), 6))
+            .filter(F.col("cosine") > 0.35)
+            .select("doc_a", "doc_b", "cosine")
+            .orderBy("doc_a", "doc_b")
+        )
+
+    q["embedding_near_dup"] = _embdup
+
+    # --- fuzzy contiguity (weights/util.py:1471) on overlapping diamonds ---
+    def _fuzzy(s, d):
+        from libpysal_spark.operators.contiguity import fuzzy_contiguity
+
+        pos, _ = _lattice_positions(s, d)
+        r = 0.6
+        ring = F.array(
+            F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+            F.struct((F.col("gx") + r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+            F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") + r).cast("double").alias("y")),
+            F.struct((F.col("gx") - r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+            F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+        )
+        polys = pos.select("id", ring.alias("vertices"))
+        return _edges_out(fuzzy_contiguity(polys, 1.0))
+
+    q["fuzzy_contiguity"] = _fuzzy
+
+    # --- island repair (weights/util.py:1297 attach_islands) ---
+    def _attach(s, d):
+        from libpysal_spark.operators.distance import attach_islands
+
+        pts = _points(s, d, "customer")
+        g = distance_band(pts, CUST_BAND_T)
+        return _edges_out(attach_islands(g, pts))
+
+    q["attach_islands"] = _attach
     return q
 
 
@@ -1234,5 +1296,56 @@ cliques AS (
 e AS (SELECT DISTINCT focal, neighbor FROM (
   SELECT focal, neighbor FROM expanded UNION ALL SELECT focal, neighbor FROM cliques))
 {_iso_sql()}"""
+
+    o["embedding_near_dup"] = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+    round(
+      list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, len(b.embedding)),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))
+    , 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, CAST(cosine AS DOUBLE) AS cosine FROM scored
+WHERE cosine > 0.35 ORDER BY doc_a, doc_b"""
+
+    # diamonds of half-diagonal 0.6 at unit spacing: overlap horizontally and
+    # vertically (1.2 > 1) but not diagonally (1.2 < sqrt(2)) -> rook adjacency
+    o["fuzzy_contiguity"] = f"""
+WITH {_lattice_cte()}, {_lattice_edges('rook')}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["attach_islands"] = f"""
+WITH {_band_cust},
+isl AS (SELECT id FROM pts WHERE id NOT IN (SELECT focal FROM e)),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE a.id IN (SELECT id FROM isl)
+),
+nn AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor, row_number() OVER (PARTITION BY focal ORDER BY dist ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+att AS (
+  SELECT DISTINCT focal, neighbor FROM (
+    SELECT focal, neighbor FROM e
+    UNION ALL SELECT focal, neighbor FROM nn
+    UNION ALL SELECT neighbor AS focal, focal AS neighbor FROM nn
+  )
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM att
+ORDER BY focal, neighbor"""
 
     return o

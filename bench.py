@@ -76,14 +76,32 @@ def suite(spark, sf_dir):
         polys = _lattice(spark, sf_dir)
         return pip_join(orders(), polys, 2.0)
 
+    customer = lambda: _points(spark, sf_dir, "customer", "c_custkey")
+
+    def _delaunay():
+        from libpysal_spark.operators.delaunay import delaunay
+
+        return delaunay(supplier()).edges
+
+    def _components():
+        return distance_band(customer(), 20.0).component_labels()
+
+    def _adaptive():
+        from libpysal_spark.operators.distance import adaptive_kernel
+
+        return adaptive_kernel(customer(), 10, "gaussian").edges
+
     return {
         "distance_band_build": lambda: distance_band(orders(), BAND_T).edges,
         "kernel_gaussian_build": lambda: kernel_weights(orders(), BAND_T, "gaussian").edges,
         "knn10_build": lambda: knn(orders(), 10).edges,
+        "adaptive_kernel_build": _adaptive,
         "queen_contiguity_build": lambda: queen(_lattice(spark, sf_dir)).edges,
         "transform_r_lag": _lag,
         "pip_join": _pip,
         "gabriel_grid": lambda: gabriel(supplier(), candidate_radius=200.0).edges,
+        "delaunay_build": _delaunay,
+        "connected_components": _components,
         "minhash_lsh_pairs": lambda: D.minhash_candidates(docs()),
         "simhash_fingerprints": lambda: D.simhash(docs()),
         "ann_cosine_topk": lambda: cosine_topk(emb(), emb().filter(F.col("vec_id") < 50), k=10),

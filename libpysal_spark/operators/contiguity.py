@@ -115,6 +115,152 @@ def bishop(polygons: DataFrame) -> Graph:
     return q.difference(r)
 
 
+def _orient(ax, ay, bx, by, cx, cy):
+    """Sign of the cross product (b-a) x (c-a): >0 left, <0 right, 0 collinear."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _segments_intersect() -> F.Column:
+    """Boolean column: segments (x1,y1)-(x2,y2) and (x3,y3)-(x4,y4) intersect.
+
+    Classic orientation test incl. collinear-overlap cases — pure arithmetic,
+    whole-stage-codegen'd (the relational replacement for shapely.intersects
+    on boundaries; cf. reference cg/standalone.py:216-601).
+    """
+    c = F.col
+    d1 = _orient(c("x3"), c("y3"), c("x4"), c("y4"), c("x1"), c("y1"))
+    d2 = _orient(c("x3"), c("y3"), c("x4"), c("y4"), c("x2"), c("y2"))
+    d3 = _orient(c("x1"), c("y1"), c("x2"), c("y2"), c("x3"), c("y3"))
+    d4 = _orient(c("x1"), c("y1"), c("x2"), c("y2"), c("x4"), c("y4"))
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        # r collinear with pq and within its bbox
+        return (
+            (F.least(px, qx) <= rx) & (rx <= F.greatest(px, qx))
+            & (F.least(py, qy) <= ry) & (ry <= F.greatest(py, qy))
+        )
+
+    collinear = (
+        ((d1 == 0) & on_seg(c("x3"), c("y3"), c("x4"), c("y4"), c("x1"), c("y1")))
+        | ((d2 == 0) & on_seg(c("x3"), c("y3"), c("x4"), c("y4"), c("x2"), c("y2")))
+        | ((d3 == 0) & on_seg(c("x1"), c("y1"), c("x2"), c("y2"), c("x3"), c("y3")))
+        | ((d4 == 0) & on_seg(c("x1"), c("y1"), c("x2"), c("y2"), c("x4"), c("y4")))
+    )
+    return proper | collinear
+
+
+def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
+    """Neighbors = polygons whose (optionally pre-buffered) shapes intersect.
+
+    Reference: weights/util.py:1471-1605 / graph/_contiguity.py:240-299 —
+    sindex candidates + shapely ``intersects``. Spark-relational version:
+
+    1. candidates — bbox-cell equi-join (same machinery as the PIP join);
+    2. exact test — polygons A, B intersect iff ANY boundary segment pair
+       intersects OR a vertex of one lies inside the other (covers
+       containment). Both predicates are pure column arithmetic: segment
+       orientation tests + even-odd crossing counts. No geometry library.
+
+    Buffering (the reference's ``buffering=True``) is the caller's concern:
+    pass pre-buffered vertex rings.
+    """
+    s = float(cell_size)
+    bbox = polygons.select(
+        "id",
+        "vertices",
+        F.floor(F.array_min(F.transform("vertices", lambda v: v["x"])) / s).alias("cx0"),
+        F.floor(F.array_max(F.transform("vertices", lambda v: v["x"])) / s).alias("cx1"),
+        F.floor(F.array_min(F.transform("vertices", lambda v: v["y"])) / s).alias("cy0"),
+        F.floor(F.array_max(F.transform("vertices", lambda v: v["y"])) / s).alias("cy1"),
+    )
+    from libpysal_spark.tiling import pack_cell
+
+    covered = (
+        bbox.withColumn("cx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("cy", F.explode(F.sequence("cy0", "cy1")))
+        .select("id", "vertices", pack_cell(F.col("cx"), F.col("cy")).alias("cell"))
+    )
+    a = covered.select(
+        F.col("cell"), F.col("id").alias("focal"), F.col("vertices").alias("va")
+    )
+    b = covered.select(
+        F.col("cell"), F.col("id").alias("neighbor"), F.col("vertices").alias("vb")
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("focal") < F.col("neighbor"))
+        .select("focal", "neighbor", "va", "vb")
+        .distinct()
+    )
+
+    def segs(col, out_prefix):
+        z = F.explode(
+            F.arrays_zip(
+                F.slice(col, 1, F.size(col) - 1).alias("p"),
+                F.slice(col, 2, F.size(col) - 1).alias("q"),
+            )
+        )
+        return z
+
+    # segment-pair crossing test
+    sa = cand.select(
+        "focal", "neighbor", "vb",
+        segs(F.col("va"), "a").alias("sa"),
+    ).select(
+        "focal", "neighbor", "vb",
+        F.col("sa.p.x").alias("x1"), F.col("sa.p.y").alias("y1"),
+        F.col("sa.q.x").alias("x2"), F.col("sa.q.y").alias("y2"),
+    )
+    sab = sa.select(
+        "focal", "neighbor", "x1", "y1", "x2", "y2",
+        segs(F.col("vb"), "b").alias("sb"),
+    ).select(
+        "focal", "neighbor", "x1", "y1", "x2", "y2",
+        F.col("sb.p.x").alias("x3"), F.col("sb.p.y").alias("y3"),
+        F.col("sb.q.x").alias("x4"), F.col("sb.q.y").alias("y4"),
+    )
+    crossing = (
+        sab.filter(_segments_intersect()).select("focal", "neighbor").distinct()
+    )
+
+    # vertex-containment test (first vertex of each inside the other), via
+    # even-odd crossing count as a higher-order aggregate over the ring
+    def inside(pt_x, pt_y, ring):
+        pairs = F.arrays_zip(
+            F.slice(ring, 1, F.size(ring) - 1).alias("p"),
+            F.slice(ring, 2, F.size(ring) - 1).alias("q"),
+        )
+        crossings = F.size(
+            F.filter(
+                pairs,
+                lambda s: ((s["p"]["y"] > pt_y) != (s["q"]["y"] > pt_y))
+                & (
+                    pt_x
+                    < (s["q"]["x"] - s["p"]["x"])
+                    * (pt_y - s["p"]["y"])
+                    / (s["q"]["y"] - s["p"]["y"])
+                    + s["p"]["x"]
+                ),
+            )
+        )
+        return crossings % 2 == 1
+
+    contain = cand.filter(
+        inside(F.col("va")[0]["x"], F.col("va")[0]["y"], F.col("vb"))
+        | inside(F.col("vb")[0]["x"], F.col("vb")[0]["y"], F.col("va"))
+    ).select("focal", "neighbor")
+
+    half = crossing.unionByName(contain).distinct()
+    pairs = half.unionByName(
+        half.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+    ).withColumn("weight", F.lit(1.0))
+    return Graph(resolve_isolates(pairs, polygons.select("id")))
+
+
 def block_weights(labels: DataFrame, id_col: str = "id", label_col: str = "regime") -> Graph:
     """All pairs sharing a regime label, minus self (weights/util.py:235-294).
 

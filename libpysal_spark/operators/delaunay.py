@@ -1,0 +1,258 @@
+"""Delaunay triangulation graph — per-macro-cell numpy Bowyer-Watson.
+
+Reference semantics: ``Delaunay`` weights (weights/gabriel.py:23-88,
+graph/_triangulation.py:127-199) — the graph whose edges are the Delaunay
+triangulation's edges. The reference calls scipy's Qhull; this environment
+has no scipy, so the triangulation itself is a from-scratch Bowyer-Watson
+(public algorithm, Bowyer 1981 / Watson 1981) vectorized with numpy inside
+``applyInPandas``.
+
+Distribution strategy (SURVEY §2.2): Delaunay is not cleanly partitionable —
+an edge can connect distant points across empty space. Strategy:
+
+- partition points into macro cells (grid), ship each cell its own points
+  plus a HALO of ghost points from the surrounding ring;
+- triangulate locally per cell (Arrow batch, pure numpy);
+- keep an edge iff its lexicographically-first endpoint is OWNED by the cell
+  (each edge emitted exactly once);
+- exact whenever every Delaunay neighborhood is contained in cell+halo (halo
+  >= max local circumradius). With ``cells_per_side=1`` (default for test
+  scale) the result is globally exact.
+
+Edges are undirected in construction; both directions are emitted in the
+final graph, matching the reference's 6-directed-edges-per-simplex + dedup
+(weights/gabriel.py:266-282).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libpysal_spark.graph import Graph, resolve_isolates
+
+
+def _bowyer_watson_edges(ids: np.ndarray, xy: np.ndarray) -> set[tuple[int, int]]:
+    """Delaunay edges (as id pairs, a<b) via incremental Bowyer-Watson."""
+    n = len(ids)
+    if n < 2:
+        return set()
+    if n == 2:
+        return {(int(min(ids)), int(max(ids)))}
+    # deterministic insertion order: lexicographic by (x, y, id)
+    order = np.lexsort((ids, xy[:, 1], xy[:, 0]))
+    pts = xy[order]
+    pids = ids[order]
+
+    # super-triangle far outside the bbox
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1000.0
+    sup = np.array(
+        [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]]
+    )
+    all_pts = np.vstack([pts, sup])
+    s0, s1, s2 = n, n + 1, n + 2
+
+    # triangles as index triples; circumcircle cache (cx, cy, r2)
+    tris: list[tuple[int, int, int]] = [(s0, s1, s2)]
+    ccs: list[tuple[float, float, float]] = [_circum(all_pts, s0, s1, s2)]
+
+    for pi in range(n):
+        px, py = all_pts[pi]
+        # find bad triangles (circumcircle contains point)
+        bad = []
+        for t in range(len(tris)):
+            ccx, ccy, r2 = ccs[t]
+            if (px - ccx) ** 2 + (py - ccy) ** 2 <= r2:
+                bad.append(t)
+        # boundary of the cavity: edges appearing exactly once among bad tris
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            a, b, c = tris[t]
+            for e in ((a, b), (b, c), (c, a)):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        # remove bad, re-triangulate fan
+        for t in sorted(bad, reverse=True):
+            tris.pop(t)
+            ccs.pop(t)
+        for a, b in boundary:
+            tris.append((a, b, pi))
+            ccs.append(_circum(all_pts, a, b, pi))
+
+    edges: set[tuple[int, int]] = set()
+    for a, b, c in tris:
+        if a >= n or b >= n or c >= n:
+            # drop triangles touching the super-triangle
+            for u, v in ((a, b), (b, c), (c, a)):
+                if u < n and v < n:
+                    pass  # hull edges also appear in interior triangles
+            continue
+        for u, v in ((a, b), (b, c), (c, a)):
+            iu, iv = int(pids[u]), int(pids[v])
+            edges.add((min(iu, iv), max(iu, iv)))
+    return edges
+
+
+def _circum(p: np.ndarray, a: int, b: int, c: int) -> tuple[float, float, float]:
+    ax, ay = p[a]
+    bx, by = p[b]
+    cx, cy = p[c]
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return (0.0, 0.0, -1.0)  # degenerate: empty circle
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return (ux, uy, r2)
+
+
+def _convex_hull(xy: np.ndarray) -> np.ndarray:
+    """Indices of convex-hull points (Andrew monotone chain — public algo,
+    mirror of the reference's Graham scan at cg/standalone.py:795-837)."""
+    order = np.lexsort((xy[:, 1], xy[:, 0]))
+    pts = xy[order]
+
+    def half(rng):
+        out = []
+        for i in rng:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if (a[0] - o[0]) * (pts[i][1] - o[1]) - (a[1] - o[1]) * (pts[i][0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(range(len(pts)))
+    upper = half(range(len(pts) - 1, -1, -1))
+    idx = sorted(set(lower + upper))
+    return order[idx]
+
+
+def global_hull_ids(points: DataFrame) -> list[int]:
+    """Ids of the global convex hull: per-partition partial hulls (pandas UDF)
+    unioned, final hull on the driver — a tree aggregate, output O(hull)."""
+    import pyspark.sql.types as T
+
+    def part_hull(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            xy = pdf[["x", "y"]].to_numpy(dtype=float)
+            keep = _convex_hull(xy) if len(pdf) > 2 else np.arange(len(pdf))
+            yield pdf.iloc[keep][["id", "x", "y"]]
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+    partial = points.select("id", "x", "y").mapInPandas(part_hull, schema).toPandas()
+    if len(partial) <= 2:
+        return partial["id"].tolist()
+    keep = _convex_hull(partial[["x", "y"]].to_numpy(dtype=float))
+    return partial.iloc[keep]["id"].tolist()
+
+
+def delaunay(points: DataFrame, cells_per_side: int = 1, halo_cells: int = 1) -> Graph:
+    """Delaunay graph. ``cells_per_side=1``: exact single-partition build.
+
+    For >1, points are gridded; each cell triangulates own+halo points plus
+    the GLOBAL CONVEX HULL points as ghosts (the only points that form
+    super-long Delaunay edges; broadcasting them repairs the hull-spanning
+    edges a bounded halo would miss). Exact when interior circumradii fit in
+    the halo — holds for quasi-uniform web geodata; residual error is only
+    ever MISSING long edges, never spurious ones (locality of the
+    empty-circumcircle certificate).
+    """
+    spark = points.sparkSession
+    pts = points.select("id", "x", "y")
+    if cells_per_side == 1:
+        tagged = pts.withColumn("cell", F.lit(0)).withColumn("own", F.lit(True))
+    else:
+        bounds = pts.agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        ).first()
+        sx = (bounds.x1 - bounds.x0) / cells_per_side or 1.0
+        sy = (bounds.y1 - bounds.y0) / cells_per_side or 1.0
+        cxe = F.least(
+            F.floor((F.col("x") - bounds.x0) / sx), F.lit(cells_per_side - 1)
+        )
+        cye = F.least(
+            F.floor((F.col("y") - bounds.y0) / sy), F.lit(cells_per_side - 1)
+        )
+        home = pts.withColumn("cx", cxe).withColumn("cy", cye)
+        offs = F.expr(
+            f"flatten(transform(sequence(-{halo_cells}, {halo_cells}), dx -> "
+            f"transform(sequence(-{halo_cells}, {halo_cells}), dy -> struct(dx, dy))))"
+        )
+        tagged = (
+            home.withColumn("__o", F.explode(offs))
+            .withColumn("tcx", F.col("cx") + F.col("__o.dx"))
+            .withColumn("tcy", F.col("cy") + F.col("__o.dy"))
+            .filter(
+                (F.col("tcx") >= 0) & (F.col("tcx") < cells_per_side)
+                & (F.col("tcy") >= 0) & (F.col("tcy") < cells_per_side)
+            )
+            .withColumn("cell", F.col("tcx") * cells_per_side + F.col("tcy"))
+            .withColumn("own", (F.col("__o.dx") == 0) & (F.col("__o.dy") == 0))
+            .select("id", "x", "y", "cell", "own")
+        )
+        # global hull points as ghosts in every cell (repairs hull-spanning
+        # edges); tiny list -> broadcast cross join
+        hull_ids = global_hull_ids(pts)
+        hull_pts = F.broadcast(
+            pts.filter(F.col("id").isin(hull_ids)).select("id", "x", "y")
+        )
+        all_cells = spark.range(cells_per_side * cells_per_side).select(
+            F.col("id").alias("cell")
+        )
+        ghosts = hull_pts.crossJoin(all_cells).withColumn("own", F.lit(False))
+        tagged = (
+            tagged.unionByName(ghosts.select("id", "x", "y", "cell", "own"))
+            .groupBy("id", "cell")
+            .agg(
+                F.first("x").alias("x"),
+                F.first("y").alias("y"),
+                F.max("own").alias("own"),
+            )
+        )
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        xy = pdf[["x", "y"]].to_numpy(dtype=float)
+        owned = set(pdf.loc[pdf["own"], "id"].tolist())
+        edges = _bowyer_watson_edges(ids, xy)
+        rows = [(a, b) for a, b in edges if a in owned]
+        return pd.DataFrame(rows, columns=["focal", "neighbor"])
+
+    local = tagged.groupBy("cell").applyInPandas(tri, "focal long, neighbor long")
+    und = local.distinct()
+    edges = (
+        und.unionByName(
+            und.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(resolve_isolates(edges, pts.select("id")))
+
+
+def voronoi_weights(points: DataFrame, cells_per_side: int = 1) -> Graph:
+    """Voronoi-cell contiguity == the Delaunay graph (unclipped duality).
+
+    Reference: weights/contiguity.py:619-694 builds Voronoi polygons then
+    rook contiguity; for points in general position with unclipped cells the
+    result is exactly the Delaunay graph (duality). The reference's clipping
+    (bbox/hull) can REMOVE long hull-adjacent edges; this variant documents
+    that deviation rather than emulating a geometry library we don't have.
+    """
+    return delaunay(points, cells_per_side=cells_per_side)

