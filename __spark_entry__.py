@@ -614,6 +614,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _edges_out(attach_islands(g, pts))
 
     q["attach_islands"] = _attach
+
+    # --- strict contiguity (pointset; catches T-junctions) ---
+    def _t_junction_polys(s, d):
+        """Columns of stacked rectangles with height = 1/(col+1): vertical
+        boundaries meet at T-junctions, so vertex hashing misses lateral
+        neighbors while strict (segment) contiguity finds them."""
+        pos, _ = _lattice_positions(s, d)
+        h = F.lit(1.0) / (F.col("gx") % 3 + 1)
+        x0 = F.col("gx").cast("double")
+        # y bounds as gy*h and (gy+1)*h — the SAME expression for a cell's top
+        # and its upper neighbor's bottom, so stacked rects touch exactly in
+        # float space (gy*h + h can differ by 1 ULP from (gy+1)*h)
+        y0 = F.col("gy").cast("double") * h
+        y1 = (F.col("gy").cast("double") + 1.0) * h
+
+        def pt(xe, ye):
+            return F.struct(xe.alias("x"), ye.alias("y"))
+
+        ring = F.array(
+            pt(x0, y0), pt(x0 + 1, y0), pt(x0 + 1, y1), pt(x0, y1), pt(x0, y0)
+        )
+        return pos.select("id", "gx", "gy", ring.alias("vertices"))
+
+    def _rook_strict(s, d):
+        from libpysal_spark.operators.contiguity import rook_strict
+
+        return _edges_out(rook_strict(_t_junction_polys(s, d), 2.0))
+
+    def _queen_strict(s, d):
+        from libpysal_spark.operators.contiguity import queen_strict
+
+        return _edges_out(queen_strict(_t_junction_polys(s, d), 2.0))
+
+    q["rook_strict"] = _rook_strict
+    q["queen_strict"] = _queen_strict
+
+    # --- cell graph (H3-analog over occupied tiles) ---
+    def _cellgraph(s, d):
+        from libpysal_spark.operators.cellgraph import cell_graph
+
+        pts = _points(s, d, "orders")
+        return _edges_out(cell_graph(pts, 50.0, order=2, weight="inverse"), 6)
+
+    q["cell_graph"] = _cellgraph
+
+    # --- hex lattice (weights/util.py:59 hexLat2W) ---
+    def _hex(s, d):
+        from libpysal_spark.operators.lattice import hex_lat2w
+
+        n = s.read.parquet(f"{d}/customer.parquet").count()
+        side = int(n ** 0.5)
+        return _edges_out(hex_lat2w(s, side, side))
+
+    q["hex_lattice"] = _hex
+
+    # --- BFS contiguity orders (weights/util.py:339 order / :610 shimbel) ---
+    def _order(s, d):
+        pos, _ = _lattice_positions(s, d)
+        g = queen(lattice_polygons(s, pos))
+        return (
+            g.order_table(3)
+            .select("focal", "neighbor", F.col("order").cast("int").alias("order"))
+            .orderBy("focal", "neighbor")
+        )
+
+    q["contiguity_order"] = _order
+
+    # --- dense id mapping (WSP bridge, weights/weights.py:28 _LabelEncoder) ---
+    def _dense(s, d):
+        g = distance_band(_points(s, d, "customer"), CUST_BAND_T)
+        return g.dense_id_mapping().orderBy("old")
+
+    q["dense_id_mapping"] = _dense
     return q
 
 
@@ -1347,5 +1420,106 @@ att AS (
 )
 SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM att
 ORDER BY focal, neighbor"""
+
+    # T-junction columns: heights cycle 1, 1/2, 1/3 by column; expressions
+    # mirror the Spark ring construction EXACTLY (y_top = gy*h + h) so float
+    # comparisons agree bit-for-bit.
+    _tj = f"""
+{_lattice_cte()},
+r AS (SELECT id, gx, gy, 1.0/((gx % 3) + 1) AS h FROM xy),
+vert AS (
+  SELECT a.id AS focal, b.id AS neighbor FROM r a JOIN r b
+    ON a.gx = b.gx AND abs(a.gy - b.gy) = 1
+),
+lat AS (
+  SELECT a.id AS f, b.id AS n,
+         least((a.gy+1)*a.h, (b.gy+1)*b.h) - greatest(a.gy*a.h, b.gy*b.h) AS ov
+  FROM r a JOIN r b ON b.gx = a.gx + 1
+)"""
+    o["rook_strict"] = f"""
+WITH {_tj},
+e AS (
+  SELECT focal, neighbor FROM vert
+  UNION SELECT f, n FROM lat WHERE ov > 0
+  UNION SELECT n, f FROM lat WHERE ov > 0
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["queen_strict"] = f"""
+WITH {_tj},
+e AS (
+  SELECT focal, neighbor FROM vert
+  UNION SELECT f, n FROM lat WHERE ov >= 0
+  UNION SELECT n, f FROM lat WHERE ov >= 0
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    xo4, yo4 = geocode_sql("o_orderkey")
+    o["cell_graph"] = f"""
+WITH pts AS (SELECT o_orderkey AS id, {xo4} AS x, {yo4} AS y FROM orders),
+cells AS (SELECT DISTINCT CAST(floor(x/50.0) AS BIGINT) AS cx,
+                          CAST(floor(y/50.0) AS BIGINT) AS cy FROM pts),
+ids AS (SELECT ((cx + 1048576) << 21) + (cy + 1048576) AS id, cx, cy FROM cells),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         greatest(abs(a.cx-b.cx), abs(a.cy-b.cy)) AS ring
+  FROM ids a JOIN ids b
+    ON a.id <> b.id AND abs(a.cx-b.cx) <= 2 AND abs(a.cy-b.cy) <= 2
+)
+SELECT focal, neighbor, CAST(round(1.0/ring, 6) AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM ids WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["hex_lattice"] = """
+WITH s AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS side FROM customer),
+nodes AS (
+  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS id FROM customer, s
+  QUALIFY id < (SELECT side*side FROM s)
+),
+xy AS (SELECT id, id // (SELECT side FROM s) AS r, id % (SELECT side FROM s) AS c FROM nodes),
+diag AS (
+  SELECT a.id AS f, b.id AS n FROM xy a JOIN xy b
+    ON a.c % 2 = 1 AND b.r = a.r + 1 AND abs(b.c - a.c) = 1
+),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor FROM xy a JOIN xy b
+    ON abs(a.r-b.r) + abs(a.c-b.c) = 1
+  UNION SELECT f, n FROM diag
+  UNION SELECT n, f FROM diag
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["contiguity_order"] = f"""
+WITH {_lattice_cte()}, {_lattice_edges('queen')},
+o2 AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM e a JOIN e b ON a.neighbor = b.focal
+  WHERE a.focal <> b.neighbor
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.focal = a.focal AND e.neighbor = b.neighbor)
+),
+o3 AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM o2 a JOIN e b ON a.neighbor = b.focal
+  WHERE a.focal <> b.neighbor
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.focal = a.focal AND e.neighbor = b.neighbor)
+    AND NOT EXISTS (SELECT 1 FROM o2 WHERE o2.focal = a.focal AND o2.neighbor = b.neighbor)
+)
+SELECT focal, neighbor, CAST(1 AS INT) AS "order" FROM e
+UNION ALL SELECT focal, neighbor, CAST(2 AS INT) FROM o2
+UNION ALL SELECT focal, neighbor, CAST(3 AS INT) FROM o3
+ORDER BY focal, neighbor"""
+
+    o["dense_id_mapping"] = """
+SELECT c_custkey AS old,
+       CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS INT) AS new
+FROM customer ORDER BY old"""
 
     return o

@@ -326,6 +326,51 @@ class Graph:
         e = out.withColumn("weight", F.lit(1.0))
         return Graph(resolve_isolates(e, self._ids()))
 
+    def order_table(self, kmax: int = 3) -> DataFrame:
+        """(focal, neighbor, order) — contiguity order up to kmax per pair.
+
+        Reference: weights/util.py:339-397 ``order`` / :610-659 ``shimbel``
+        (BFS per node). Distributed form: kmax rounds of frontier hash joins;
+        round k's frontier is anti-joined against everything reached earlier,
+        so each pair appears once at its shortest-path order.
+        """
+        base = (
+            _real_edges(self.edges)
+            .select("focal", "neighbor")
+            .distinct()
+            .localCheckpoint()
+        )
+        reached = base.withColumn("order", F.lit(1))
+        frontier = base
+        for k in range(2, kmax + 1):
+            step = base.select(
+                F.col("focal").alias("__mid"), F.col("neighbor").alias("neighbor")
+            )
+            nxt = (
+                frontier.select("focal", F.col("neighbor").alias("__mid"))
+                .join(step, "__mid")
+                .select("focal", "neighbor")
+                .filter(F.col("focal") != F.col("neighbor"))
+                .distinct()
+                .join(reached.select("focal", "neighbor"), ["focal", "neighbor"], "left_anti")
+                .localCheckpoint()
+            )
+            reached = reached.unionByName(nxt.withColumn("order", F.lit(k)))
+            frontier = nxt
+        return reached
+
+    def dense_id_mapping(self) -> DataFrame:
+        """(old, new) mapping to contiguous 0..n-1 ids, ordered by old id.
+
+        The WSP/CSR bridge (reference: weights/weights.py:28-75
+        ``_LabelEncoder``, WSP at :1463): a dense integer index for array
+        backends. row_number over a global sort — deterministic.
+        """
+        w = Window.orderBy("id")
+        return self._ids().select(
+            F.col("id").alias("old"), (F.row_number().over(w) - 1).alias("new")
+        )
+
     def assign_self_weight(self, weight: float = 1.0) -> "Graph":
         """Set w_ii = weight for every node (graph/base.py:2795-2872)."""
         diag = self._ids().select(

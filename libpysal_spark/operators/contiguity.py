@@ -153,6 +153,107 @@ def _segments_intersect() -> F.Column:
     return proper | collinear
 
 
+def _bbox_candidates(polygons: DataFrame, cell_size: float) -> DataFrame:
+    """Unordered candidate polygon pairs via bbox-cell cover join."""
+    from libpysal_spark.tiling import pack_cell
+
+    s = float(cell_size)
+    bbox = polygons.select(
+        "id",
+        "vertices",
+        F.floor(F.array_min(F.transform("vertices", lambda v: v["x"])) / s).alias("cx0"),
+        F.floor(F.array_max(F.transform("vertices", lambda v: v["x"])) / s).alias("cx1"),
+        F.floor(F.array_min(F.transform("vertices", lambda v: v["y"])) / s).alias("cy0"),
+        F.floor(F.array_max(F.transform("vertices", lambda v: v["y"])) / s).alias("cy1"),
+    )
+    covered = (
+        bbox.withColumn("cx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("cy", F.explode(F.sequence("cy0", "cy1")))
+        .select("id", "vertices", pack_cell(F.col("cx"), F.col("cy")).alias("cell"))
+    )
+    a = covered.select("cell", F.col("id").alias("focal"), F.col("vertices").alias("va"))
+    b = covered.select("cell", F.col("id").alias("neighbor"), F.col("vertices").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("focal") < F.col("neighbor"))
+        .select("focal", "neighbor", "va", "vb")
+        .distinct()
+    )
+
+
+def _segment_pairs(cand: DataFrame) -> DataFrame:
+    """Explode candidate pairs to all boundary-segment pairs (x1..y4)."""
+
+    def segs(col):
+        return F.explode(
+            F.arrays_zip(
+                F.slice(col, 1, F.size(col) - 1).alias("p"),
+                F.slice(col, 2, F.size(col) - 1).alias("q"),
+            )
+        )
+
+    sa = cand.select("focal", "neighbor", "vb", segs(F.col("va")).alias("sa")).select(
+        "focal", "neighbor", "vb",
+        F.col("sa.p.x").alias("x1"), F.col("sa.p.y").alias("y1"),
+        F.col("sa.q.x").alias("x2"), F.col("sa.q.y").alias("y2"),
+    )
+    return sa.select(
+        "focal", "neighbor", "x1", "y1", "x2", "y2", segs(F.col("vb")).alias("sb")
+    ).select(
+        "focal", "neighbor", "x1", "y1", "x2", "y2",
+        F.col("sb.p.x").alias("x3"), F.col("sb.p.y").alias("y3"),
+        F.col("sb.q.x").alias("x4"), F.col("sb.q.y").alias("y4"),
+    )
+
+
+def queen_strict(polygons: DataFrame, cell_size: float) -> Graph:
+    """Strict (pointset) queen: neighbors share >= 1 boundary POINT.
+
+    Reference: graph/_contiguity.py:94-135 (STRtree + shapely touches). For a
+    valid tessellation (interiors disjoint) shared-boundary-point == some
+    segment pair intersects, which the relational orientation test decides —
+    this catches T-junction contacts the vertex-hash path cannot see.
+    """
+    cand = _bbox_candidates(polygons, cell_size)
+    half = _segment_pairs(cand).filter(_segments_intersect()).select(
+        "focal", "neighbor"
+    ).distinct()
+    pairs = half.unionByName(
+        half.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+    ).withColumn("weight", F.lit(1.0))
+    return Graph(resolve_isolates(pairs, polygons.select("id")))
+
+
+def rook_strict(polygons: DataFrame, cell_size: float) -> Graph:
+    """Strict rook: neighbors share a boundary segment of POSITIVE length.
+
+    Reference: graph/_contiguity.py:138-182 (DE-9IM "F***1****"). Relational
+    predicate: some segment pair is collinear with positive-length 1-D
+    overlap — all orientation/interval arithmetic, no geometry library.
+    """
+    sp = _segment_pairs(_bbox_candidates(polygons, cell_size))
+    c = F.col
+    d1 = _orient(c("x1"), c("y1"), c("x2"), c("y2"), c("x3"), c("y3"))
+    d2 = _orient(c("x1"), c("y1"), c("x2"), c("y2"), c("x4"), c("y4"))
+    collinear = (d1 == 0) & (d2 == 0)
+    # project onto the dominant axis of segment 1 and require interval overlap
+    use_x = F.abs(c("x2") - c("x1")) >= F.abs(c("y2") - c("y1"))
+    lo_a = F.when(use_x, F.least(c("x1"), c("x2"))).otherwise(F.least(c("y1"), c("y2")))
+    hi_a = F.when(use_x, F.greatest(c("x1"), c("x2"))).otherwise(F.greatest(c("y1"), c("y2")))
+    lo_b = F.when(use_x, F.least(c("x3"), c("x4"))).otherwise(F.least(c("y3"), c("y4")))
+    hi_b = F.when(use_x, F.greatest(c("x3"), c("x4"))).otherwise(F.greatest(c("y3"), c("y4")))
+    overlap = F.least(hi_a, hi_b) - F.greatest(lo_a, lo_b)
+    half = (
+        sp.filter(collinear & (overlap > 0))
+        .select("focal", "neighbor")
+        .distinct()
+    )
+    pairs = half.unionByName(
+        half.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+    ).withColumn("weight", F.lit(1.0))
+    return Graph(resolve_isolates(pairs, polygons.select("id")))
+
+
 def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
     """Neighbors = polygons whose (optionally pre-buffered) shapes intersect.
 

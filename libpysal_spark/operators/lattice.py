@@ -45,6 +45,46 @@ def lat2w(spark: SparkSession, nrows: int, ncols: int, criterion: str = "rook") 
     return Graph(edges)
 
 
+def hex_lat2w(spark: SparkSession, nrows: int, ncols: int) -> Graph:
+    """Hexagonal-lattice weights (reference: weights/util.py:59-141).
+
+    Construction: regular rook lattice + diagonal links between an ODD-column
+    cell and the two cells below it (odd columns are shifted down half a
+    cell). Golden: hexLat2W() neighbors[1] == {0, 6, 2, 5, 7}.
+    """
+    if nrows == 1 or ncols == 1:
+        return lat2w(spark, nrows, ncols, "rook")
+    base = lat2w(spark, nrows, ncols, "rook").edges.select("focal", "neighbor")
+    cells = spark.range(nrows * ncols).select(
+        F.col("id").alias("focal"),
+        (F.col("id") / ncols).cast("long").alias("r"),
+        (F.col("id") % ncols).alias("c"),
+    )
+    diag_off = F.array(
+        F.struct(F.lit(1).alias("dr"), F.lit(-1).alias("dc")),
+        F.struct(F.lit(1).alias("dr"), F.lit(1).alias("dc")),
+    )
+    down = (
+        cells.filter(F.col("c") % 2 == 1)
+        .withColumn("o", F.explode(diag_off))
+        .select(
+            "focal",
+            (F.col("r") + F.col("o.dr")).alias("nr"),
+            (F.col("c") + F.col("o.dc")).alias("nc"),
+        )
+        .filter(
+            (F.col("nr") >= 0) & (F.col("nr") < nrows)
+            & (F.col("nc") >= 0) & (F.col("nc") < ncols)
+        )
+        .select("focal", (F.col("nr") * ncols + F.col("nc")).alias("neighbor"))
+    )
+    diag = down.unionByName(
+        down.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+    )
+    edges = base.unionByName(diag).distinct().withColumn("weight", F.lit(1.0))
+    return Graph(edges)
+
+
 def lattice_polygons(spark: SparkSession, positions: DataFrame, size: float = 1.0) -> DataFrame:
     """Square polygon layer from (id, gx, gy) grid positions.
 
