@@ -16,12 +16,18 @@ functions.kernels):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the engine importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from libpysal_spark.functions.detagg import (
+    det_sum,
     det_sum_sql,
     portable_round,
     portable_round_sql,
@@ -687,6 +693,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return g.dense_id_mapping().orderBy("old")
 
     q["dense_id_mapping"] = _dense
+
+    # --- cardinality histogram (weights/weights.py:797 histogram) ---
+    def _hist(s, d):
+        g = distance_band(_points(s, d, "orders"), BAND_T)
+        return (
+            g.cardinalities()
+            .groupBy("cardinality")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .orderBy("cardinality")
+        )
+
+    q["cardinality_histogram"] = _hist
+
+    # --- temporal tile rollup over the events stream table (batch form of
+    # streaming/ingest.tile_rollup_stream) ---
+    def _rollup(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        x, y = geocode_exprs("user_id")
+        tiled = ev.withColumn("x", x).withColumn("y", y).withColumn(
+            "tile", F.floor(F.col("x") / 100.0) * 100 + F.floor(F.col("y") / 100.0)
+        )
+        return (
+            tiled.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("tile")
+            )
+            .agg(
+                F.count("*").cast("long").alias("events"),
+                portable_round(det_sum("value"), 4).alias("value_sum"),
+            )
+            .orderBy("hour", "tile")
+        )
+
+    q["event_tile_rollup"] = _rollup
     return q
 
 
@@ -1521,5 +1560,29 @@ ORDER BY focal, neighbor"""
 SELECT c_custkey AS old,
        CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS INT) AS new
 FROM customer ORDER BY old"""
+
+    o["cardinality_histogram"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+deg AS (SELECT focal AS id, count(*) AS c FROM e GROUP BY focal),
+card AS (
+  SELECT pts.id, CAST(coalesce(deg.c, 0) AS BIGINT) AS cardinality
+  FROM pts LEFT JOIN deg ON pts.id = deg.id
+)
+SELECT cardinality, CAST(count(*) AS BIGINT) AS n_nodes
+FROM card GROUP BY cardinality ORDER BY cardinality"""
+
+    xu, yu = geocode_sql("user_id")
+    o["event_tile_rollup"] = f"""
+WITH tiled AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(floor(({xu})/100.0) AS BIGINT) * 100
+           + CAST(floor(({yu})/100.0) AS BIGINT) AS tile,
+         value
+  FROM events
+)
+SELECT hour, tile,
+       CAST(count(*) AS BIGINT) AS events,
+       CAST({portable_round_sql(det_sum_sql('value'), 4)} AS DOUBLE) AS value_sum
+FROM tiled GROUP BY hour, tile ORDER BY hour, tile"""
 
     return o

@@ -1,0 +1,59 @@
+"""Plan-quality gates: the physical plans we ship, not just the answers.
+
+These assertions encode the 100 TB design requirements:
+- parquet scans are column-pruned (ReadSchema only carries used columns);
+- weights builders contain NO Python evaluation (no BatchEvalPython /
+  ArrowEvalPython nodes) — everything is JVM-side codegen;
+- the constant ring-offset arrays are constant-folded (no per-row sequence
+  construction);
+- predicate pushdown reaches the scan (PushedFilters non-empty when the
+  query filters on a scanned column).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.operators.distance import distance_band, kernel_weights
+from libpysal_spark.operators.contiguity import queen
+from libpysal_spark.operators.lattice import lattice_polygons
+from libpysal_spark.pages import document_points
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_band_plan_is_pure_jvm(spark):
+    plan = _formatted(distance_band(document_points(spark, SF), 20.0).edges)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # column pruning: only doc_id leaves the scan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    # ring offsets constant-folded into a literal array, not per-row exprs
+    assert "UnsafeArrayData" in plan
+
+
+def test_kernel_plan_is_pure_jvm(spark):
+    plan = _formatted(kernel_weights(document_points(spark, SF), 20.0, "gaussian").edges)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_queen_plan_is_pure_jvm(spark):
+    pos = spark.range(9).select(
+        F.col("id"), (F.col("id") % 3).alias("gx"), (F.col("id") / 3).cast("long").alias("gy")
+    )
+    plan = _formatted(queen(lattice_polygons(spark, pos)).edges)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(docs.filter(F.col("doc_id") < 100).select("doc_id", "lang"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
