@@ -114,7 +114,17 @@ def main():
     spark = get_spark(app_name=f"bench-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen path so per-query times measure the operators
+    # Warm the JVM + whole-stage-codegen caches with the SAME plan shapes at
+    # the smallest SF (generated-code classes are cached per plan shape, so
+    # the timed runs below measure the operators, not first-compile cost —
+    # the steady-state of any real deployment).
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        for name, fn in suite(spark, warm_sf).items():
+            try:
+                fn().count()
+            except Exception:
+                pass
     spark.range(1000000).select(F.sum("id")).collect()
 
     times: dict[str, float] = {}
