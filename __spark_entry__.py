@@ -726,6 +726,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["event_tile_rollup"] = _rollup
+
+    # --- travel-cost / network weights (graph/_network.py:27 pdna_to_adj) ---
+    def _travel(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        adj = (
+            li.select(
+                (F.col("l_orderkey") % 500).alias("focal"),
+                F.col("l_suppkey").alias("neighbor"),
+                F.col("l_quantity").alias("cost"),
+            )
+            .filter(F.col("cost") <= 25.0)
+            .groupBy("focal", "neighbor")
+            .agg(F.min("cost").alias("cost"))
+        )
+        return _edges_out(Graph.from_adjacency(adj, weight_col="cost"), 4)
+
+    q["travel_cost_graph"] = _travel
     return q
 
 
@@ -1584,5 +1601,18 @@ SELECT hour, tile,
        CAST(count(*) AS BIGINT) AS events,
        CAST({portable_round_sql(det_sum_sql('value'), 4)} AS DOUBLE) AS value_sum
 FROM tiled GROUP BY hour, tile ORDER BY hour, tile"""
+
+    o["travel_cost_graph"] = """
+WITH adj AS (
+  SELECT l_orderkey % 500 AS focal, l_suppkey AS neighbor,
+         min(l_quantity) AS cost
+  FROM lineitem WHERE l_quantity <= 25.0 GROUP BY 1, 2
+),
+ids AS (SELECT DISTINCT focal AS id FROM adj),
+e AS (SELECT focal, neighbor, cost FROM adj WHERE focal <> neighbor)
+SELECT focal, neighbor, CAST(round(cost, 4) AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM ids WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
 
     return o

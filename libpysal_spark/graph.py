@@ -657,6 +657,42 @@ class Graph:
             )
         )
 
+    def apply_neighborhoods(self, y: DataFrame, func, schema: str, value_col: str = "y") -> DataFrame:
+        """Arbitrary pandas reduction over each focal's neighbor values.
+
+        Reference: graph/base.py:2874-2919 ``apply``/``aggregate`` — the
+        user-defined-aggregation surface. ``func(pdf) -> pdf`` receives one
+        focal group (columns: focal, neighbor, weight, y) as pandas;
+        ``schema`` is the output schema. Runs as ``applyInPandas`` — Arrow
+        batches, one shuffle by focal.
+        """
+        yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("y"))
+        joined = _real_edges(self.edges).join(yn, "neighbor")
+        return joined.groupBy("focal").applyInPandas(func, schema)
+
+    @classmethod
+    def from_adjacency(
+        cls, adj: DataFrame, focal_col: str = "focal", neighbor_col: str = "neighbor",
+        weight_col: str | None = None,
+    ) -> "Graph":
+        """Build from any adjacency-shaped DataFrame (graph/base.py:315).
+
+        Also the travel-cost ingestion path (graph/_network.py:27
+        ``pdna_to_adj``): a nodes-within-range table IS an adjacency list.
+        """
+        w = (
+            F.col(weight_col).cast("double")
+            if weight_col
+            else F.lit(1.0)
+        )
+        e = adj.select(
+            F.col(focal_col).alias("focal"),
+            F.col(neighbor_col).alias("neighbor"),
+            w.alias("weight"),
+        )
+        ids = e.select(F.col("focal").alias("id")).distinct()
+        return cls(resolve_isolates(e.filter(F.col("focal") != F.col("neighbor")), ids))
+
     def islands(self) -> DataFrame:
         """Ids encoded as isolates (zero-weight self loops)."""
         return self.edges.filter(

@@ -138,3 +138,31 @@ def test_eliminate_zeros(spark):
     )
     w = _edges(g.eliminate_zeros())
     assert w == {(0, 2): 3.0, (5, 5): 0.0}
+
+
+def test_apply_neighborhoods_udaf(spark, path4):
+    import pandas as pd
+
+    y = spark.createDataFrame(
+        [(0, 1.0), (1, 10.0), (2, 100.0), (3, 1000.0), (9, 5.0)], "id long, y double"
+    )
+
+    def rng(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": [pdf["focal"].iloc[0]], "rng": [pdf["y"].max() - pdf["y"].min()]}
+        )
+
+    out = {r.id: r.rng for r in path4.apply_neighborhoods(y, rng, "id long, rng double").collect()}
+    assert out[1] == 99.0 and out[0] == 0.0
+    assert 9 not in out  # isolates have no neighborhood
+
+
+def test_from_adjacency(spark):
+    from libpysal_spark.graph import Graph
+
+    adj = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 0, 2.5), (2, 2, 9.9)], "focal long, neighbor long, cost double"
+    )
+    g = Graph.from_adjacency(adj, weight_col="cost")
+    w = {(r.focal, r.neighbor): r.weight for r in g.edges.collect()}
+    assert w == {(0, 1): 2.5, (1, 0): 2.5, (2, 2): 0.0}  # self-loop -> isolate
