@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transform_d"] = lambda s, d: _edges_out(
         distance_band(_points(s, d, "orders"), BAND_T).transform("D"), 9
     )
+    q["transform_v"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T).transform("V"), 9
+    )
 
     # --- set ops / algebra (SURVEY §2.4) ---
     def _two_graphs(s, d):
@@ -309,6 +312,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lag_spatial"] = _lag
 
+    # --- adjlist family (weights/adjtools.py) ---
+    def _adjlist_apply(s, d):
+        g = knn(_points(s, d, "customer"), KNN_K)
+        y = s.read.parquet(f"{d}/customer.parquet").select(
+            F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("y")
+        )
+        out = g.adjlist_apply(y, func=lambda f, n: F.abs(f - n))
+        return out.select(
+            "focal", "neighbor",
+            F.round("att_focal", 4).alias("att_focal"),
+            F.round("att_neighbor", 4).alias("att_neighbor"),
+            F.round("result", 4).alias("result"),
+        ).orderBy("focal", "neighbor")
+
+    q["adjlist_apply"] = _adjlist_apply
+
+    def _filter_adjlist(s, d):
+        g = knn(_points(s, d, "customer"), KNN_K).symmetrize("max")
+        return g.filter_adjlist().select("focal", "neighbor").orderBy(
+            "focal", "neighbor"
+        )
+
+    q["filter_adjlist"] = _filter_adjlist
+
     def _lag_cat(s, d):
         g = distance_band(_points(s, d, "orders"), BAND_T)
         y = s.read.parquet(f"{d}/orders.parquet").select(
@@ -333,9 +360,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("max", 4).alias("max"),
             portable_round("sum", 2).alias("sum"),
             F.col("nunique").cast("long").alias("nunique"),
+            portable_round("median", 4).alias("median"),
+            F.round("mode", 4).alias("mode"),
         ).orderBy("id")
 
     q["describe"] = _describe
+
+    def _describe_filtered(s, d):
+        # percentile filtration (graph/_utils.py:297-385): keep only neighbor
+        # values inside the per-neighborhood interpolated [25, 75] percentile
+        # band before aggregating (groups of <= 2 kept whole).
+        g = distance_band(_points(s, d, "orders"), BAND_T)
+        y = s.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("y")
+        )
+        out = g.describe(y, deterministic=True, q=(25.0, 75.0))
+        return out.select(
+            "id",
+            F.col("count").cast("long").alias("count"),
+            portable_round("mean", 4).alias("mean"),
+            F.round("min", 4).alias("min"),
+            F.round("max", 4).alias("max"),
+            portable_round("sum", 2).alias("sum"),
+        ).orderBy("id")
+
+    q["describe_filtered"] = _describe_filtered
     q["cardinalities"] = lambda s, d: distance_band(
         _points(s, d, "orders"), BAND_T
     ).cardinalities().orderBy("id")
@@ -348,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("s0", 4).alias("s0"),
             F.round("s1", 4).alias("s1"),
             F.round("s2", 4).alias("s2"),
+            F.round("trcW2", 4).alias("trcw2"),
+            F.round("trcWtW", 4).alias("trcwtw"),
+            F.round("trcWtW_WW", 4).alias("trcwtw_ww"),
         )
 
     q["summary_stats"] = _summary
@@ -399,8 +451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda s, d: D.minhash_candidates(
         _docs(s, d), num_hashes=MINHASH_H, bands=MINHASH_BANDS
     ).orderBy("doc_a", "doc_b")
+    # full corpus (the sf0.01 fixture plants ~25 near-dup pairs above 0.1;
+    # the round-1 doc_id<100 slice had none, making the oracle match vacuous)
     q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard(
-        _docs(s, d).filter(F.col("doc_id") < 100), threshold=0.1
+        _docs(s, d), threshold=0.1
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")).orderBy("doc_a", "doc_b")
     q["simhash"] = lambda s, d: D.simhash(_docs(s, d)).orderBy("doc_id")
     q["simhash_near_pairs"] = lambda s, d: D.simhash_near_pairs(
@@ -419,6 +473,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         portable_round("quality", 6).alias("quality"),
     ).orderBy("doc_id")
     q["fingerprint"] = lambda s, d: Q.fingerprint(_docs(s, d)).orderBy("doc_id")
+
+    # --- multimodal metadata (text/multimodal.py media_metadata) ---
+    def _media_metadata(s, d):
+        from libpysal_spark.text.multimodal import media_metadata
+
+        # deterministic mixed-kind payloads: ASCII magic prefix by doc_id % 5
+        prefix = F.element_at(
+            F.array(F.lit("<htm"), F.lit("<!DO"), F.lit("GIF8"), F.lit("RIFF"), F.lit("OggS")),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+        docs = _docs(s, d).select(
+            "doc_id", F.encode(F.concat(prefix, F.col("text")), "UTF-8").alias("payload")
+        )
+        return (
+            media_metadata(docs, "payload")
+            .select("doc_id", "media_bytes", "media_kind", "media_hash")
+            .orderBy("doc_id")
+        )
+
+    q["media_metadata"] = _media_metadata
 
     # --- similarity search ---
     def _ann(s, d):
@@ -839,6 +913,21 @@ UNION ALL
 SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
 ORDER BY focal, neighbor"""
 
+    # variance-stabilizing: s_ij = w_ij / sqrt(Σ_j w_ij²), scaled by n / Σ s
+    # (reference weights/weights.py:1156-1174; binary band ⇒ s_ij = 1/sqrt(deg))
+    o["transform_v"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+deg AS (SELECT focal, count(*) AS dg FROM e GROUP BY focal),
+sv AS (SELECT e.focal, e.neighbor, 1.0/sqrt(deg.dg) AS s
+       FROM e JOIN deg ON e.focal = deg.focal),
+tot AS (SELECT sum(s) AS st FROM sv),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pts)
+SELECT focal, neighbor, CAST(round(s * n / st, 9) AS DOUBLE) AS weight
+FROM sv, tot, nn
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM sv)
+ORDER BY focal, neighbor"""
+
     _two = f"""
 pts AS ({_pts_sql('customer')}),
 band AS (
@@ -971,17 +1060,97 @@ SELECT focal AS id, cat AS lag FROM (
         f"sqrt(({_dss} - {_n} * ({_m} * {_m})) / ({_n} - 1.0)) END"
     )
     o["describe"] = f"""
-WITH {_band_cte('orders', BAND_T)}
-SELECT e.focal AS id,
+WITH {_band_cte('orders', BAND_T)},
+md AS (
+  SELECT focal, v AS mode FROM (
+    SELECT e.focal, y.o_totalprice AS v,
+           row_number() OVER (PARTITION BY e.focal
+                              ORDER BY count(*) DESC, y.o_totalprice ASC) AS rk
+    FROM e JOIN orders y ON e.neighbor = y.o_orderkey
+    GROUP BY e.focal, y.o_totalprice
+  ) WHERE rk = 1
+),
+base AS (
+  SELECT e.focal AS id,
+         CAST(count(*) AS BIGINT) AS count,
+         CAST({portable_round_sql(_m, 4)} AS DOUBLE) AS mean,
+         CAST({portable_round_sql(_std, 4)} AS DOUBLE) AS std,
+         CAST(round(min(y.o_totalprice), 4) AS DOUBLE) AS min,
+         CAST(round(max(y.o_totalprice), 4) AS DOUBLE) AS max,
+         CAST({portable_round_sql(_dsum, 2)} AS DOUBLE) AS sum,
+         CAST(count(DISTINCT y.o_totalprice) AS BIGINT) AS nunique,
+         CAST({portable_round_sql('median(CAST(y.o_totalprice AS DOUBLE))', 4)} AS DOUBLE) AS median
+  FROM e JOIN orders y ON e.neighbor = y.o_orderkey
+  GROUP BY e.focal
+)
+SELECT base.*, CAST(round(md.mode, 4) AS DOUBLE) AS mode
+FROM base JOIN md ON base.id = md.focal ORDER BY id"""
+
+    o["describe_filtered"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+vals AS (
+  SELECT e.focal, CAST(y.o_totalprice AS DOUBLE) AS v
+  FROM e JOIN orders y ON e.neighbor = y.o_orderkey
+),
+b AS (
+  SELECT focal, count(*) AS n,
+         quantile_cont(v, 0.25) AS qlo, quantile_cont(v, 0.75) AS qhi
+  FROM vals GROUP BY focal
+),
+kept AS (
+  SELECT vals.focal, v FROM vals JOIN b ON vals.focal = b.focal
+  WHERE b.n <= 2 OR (v >= b.qlo AND v <= b.qhi)
+)
+SELECT focal AS id,
        CAST(count(*) AS BIGINT) AS count,
-       CAST({portable_round_sql(_m, 4)} AS DOUBLE) AS mean,
-       CAST({portable_round_sql(_std, 4)} AS DOUBLE) AS std,
-       CAST(round(min(y.o_totalprice), 4) AS DOUBLE) AS min,
-       CAST(round(max(y.o_totalprice), 4) AS DOUBLE) AS max,
-       CAST({portable_round_sql(_dsum, 2)} AS DOUBLE) AS sum,
-       CAST(count(DISTINCT y.o_totalprice) AS BIGINT) AS nunique
-FROM e JOIN orders y ON e.neighbor = y.o_orderkey
-GROUP BY e.focal ORDER BY id"""
+       CAST({portable_round_sql('(' + det_sum_sql('v') + ' / CAST(count(*) AS DOUBLE))', 4)} AS DOUBLE) AS mean,
+       CAST(round(min(v), 4) AS DOUBLE) AS min,
+       CAST(round(max(v), 4) AS DOUBLE) AS max,
+       CAST({portable_round_sql(det_sum_sql('v'), 2)} AS DOUBLE) AS sum
+FROM kept GROUP BY focal ORDER BY id"""
+
+    o["adjlist_apply"] = f"""
+WITH {_knn_cte('customer', KNN_K)}
+SELECT e.focal, e.neighbor,
+       CAST(round(yf.c_acctbal, 4) AS DOUBLE) AS att_focal,
+       CAST(round(yn.c_acctbal, 4) AS DOUBLE) AS att_neighbor,
+       CAST(round(abs(yf.c_acctbal - yn.c_acctbal), 4) AS DOUBLE) AS result
+FROM e
+JOIN customer yf ON e.focal = yf.c_custkey
+JOIN customer yn ON e.neighbor = yn.c_custkey
+ORDER BY e.focal, e.neighbor"""
+
+    o["filter_adjlist"] = f"""
+WITH {_knn_cte('customer', KNN_K)},
+sym AS (
+  SELECT focal, neighbor FROM e
+  UNION
+  SELECT neighbor, focal FROM e
+)
+SELECT focal, neighbor FROM sym WHERE focal <= neighbor
+ORDER BY focal, neighbor"""
+
+    # same magic-prefix synthesis as the Spark query; md5 over the VARCHAR is
+    # md5 over its UTF-8 bytes == Spark's md5 over encode(..., 'UTF-8'), and
+    # strlen() is the byte length of the same encoding.
+    o["media_metadata"] = """
+WITH p AS (
+  SELECT doc_id,
+         concat(['<htm', '<!DO', 'GIF8', 'RIFF', 'OggS'][CAST(doc_id % 5 AS INT) + 1],
+                text) AS payload
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strlen(payload) AS BIGINT) AS media_bytes,
+       CASE substr(payload, 1, 4)
+         WHEN 'GIF8' THEN 'gif'
+         WHEN 'RIFF' THEN 'riff'
+         WHEN '<htm' THEN 'html'
+         WHEN '<!DO' THEN 'html'
+         WHEN 'OggS' THEN 'ogg'
+         ELSE 'unknown' END AS media_kind,
+       md5(payload) AS media_hash
+FROM p ORDER BY doc_id"""
 
     o["cardinalities"] = f"""
 WITH {_band_cte('orders', BAND_T)},
@@ -1012,7 +1181,15 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_edges,
   (SELECT CAST(round(sum(weight), 4) AS DOUBLE) FROM w) AS s0,
   (SELECT CAST(round(sum(sij * sij) / 2.0, 4) AS DOUBLE) FROM pair) AS s1,
-  (SELECT CAST(round(sum(s * s), 4) AS DOUBLE) FROM rc) AS s2"""
+  (SELECT CAST(round(sum(s * s), 4) AS DOUBLE) FROM rc) AS s2,
+  (SELECT CAST(round(sum(w.weight * r.wr), 4) AS DOUBLE)
+   FROM w JOIN rev r ON w.focal = r.focal AND w.neighbor = r.neighbor) AS trcw2,
+  (SELECT CAST(round(sum(weight * weight), 4) AS DOUBLE) FROM w) AS trcwtw,
+  CAST(round(
+    (SELECT sum(weight * weight) FROM w)
+    + (SELECT sum(w.weight * r.wr)
+       FROM w JOIN rev r ON w.focal = r.focal AND w.neighbor = r.neighbor), 4)
+   AS DOUBLE) AS trcwtw_ww"""
 
     xs, ys = geocode_sql("doc_id")
     _url = (
@@ -1069,7 +1246,7 @@ FROM bands a JOIN bands b
 ORDER BY doc_a, doc_b"""
 
     o["ngram_jaccard"] = f"""
-WITH {_shingle_cte("WHERE doc_id < 100")},
+WITH {_shingle_cte()},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -1575,7 +1752,7 @@ ORDER BY focal, neighbor"""
 
     o["dense_id_mapping"] = """
 SELECT c_custkey AS old,
-       CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS INT) AS new
+       CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS new
 FROM customer ORDER BY old"""
 
     o["cardinality_histogram"] = f"""

@@ -149,12 +149,23 @@ class Graph:
             )
             return Graph(out, "R")
         if scheme == "D":
-            s0 = F.sum("weight").over(Window.partitionBy())
-            out = e.withColumn("weight", F.col("weight") / s0)
+            # Global scalar via agg + broadcast cross join — a
+            # Window.partitionBy() scalar would funnel the whole edge table
+            # through ONE partition; the 2-row broadcast keeps the plan fully
+            # parallel (BroadcastNestedLoopJoin over a 1-row build side).
+            s0 = e.agg(F.sum("weight").alias("__s0"))
+            out = (
+                e.crossJoin(F.broadcast(s0))
+                .withColumn("weight", F.col("weight") / F.col("__s0"))
+                .drop("__s0")
+            )
             return Graph(out, "D")
         if scheme == "V":
             # s_ij = w_ij / sqrt(sum_j w_ij^2), then scale by n / sum(s)
             # Reference: graph/base.py:1876-1881, weights/weights.py:1156-1174.
+            # Per-focal norm stays a hash-partitioned window; the two global
+            # scalars (n, sum s) are an agg broadcast back — no single-
+            # partition exchange anywhere in the plan.
             wf = Window.partitionBy("focal")
             e2 = e.withColumn(
                 "__s",
@@ -162,10 +173,15 @@ class Graph:
                     F.col("weight") / F.sqrt(F.sum(F.col("weight") ** 2).over(wf))
                 ),
             )
-            wall = Window.partitionBy()
-            n_nodes = F.size(F.collect_set("focal").over(wall))
-            s_total = F.sum("__s").over(wall)
-            out = e2.withColumn("weight", F.col("__s") * n_nodes / s_total).drop("__s")
+            tot = e2.agg(
+                F.countDistinct("focal").alias("__n"),
+                F.sum("__s").alias("__st"),
+            )
+            out = (
+                e2.crossJoin(F.broadcast(tot))
+                .withColumn("weight", F.col("__s") * F.col("__n") / F.col("__st"))
+                .drop("__s", "__n", "__st")
+            )
             return Graph(out, "V")
         raise ValueError(f"unknown transformation {scheme!r}")
 
@@ -364,11 +380,36 @@ class Graph:
 
         The WSP/CSR bridge (reference: weights/weights.py:28-75
         ``_LabelEncoder``, WSP at :1463): a dense integer index for array
-        backends. row_number over a global sort — deterministic.
+        backends. Distributed zipWithIndex pattern — range-partition by id,
+        rank within each partition (parallel windows), then add per-partition
+        cumulative offsets (one tiny collect, bounded by partition count).
+        No single-partition global sort anywhere; the output is deterministic
+        regardless of the sampled range boundaries because global position =
+        partition offset + local rank over distinct ids.
         """
-        w = Window.orderBy("id")
-        return self._ids().select(
-            F.col("id").alias("old"), (F.row_number().over(w) - 1).alias("new")
+        ids = (
+            self._ids()
+            .repartitionByRange("id")
+            .sortWithinPartitions("id")
+            .withColumn("__pid", F.spark_partition_id())
+        ).localCheckpoint()
+        counts = {
+            r["__pid"]: r["c"]
+            for r in ids.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+        }
+        offsets, acc = [], 0
+        for pid in sorted(counts):
+            offsets.append((pid, acc))
+            acc += counts[pid]
+        spark = ids.sparkSession
+        off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+        w = Window.partitionBy("__pid").orderBy("id")
+        return (
+            ids.join(F.broadcast(off_df), "__pid")
+            .select(
+                F.col("id").alias("old"),
+                (F.col("__off") + F.row_number().over(w) - 1).alias("new"),
+            )
         )
 
     def assign_self_weight(self, weight: float = 1.0) -> "Graph":
@@ -433,19 +474,59 @@ class Graph:
             .select(F.col("focal").alias("id"), F.col("__cat").alias("lag"))
         )
 
-    def describe(self, y: DataFrame, value_col: str = "y", deterministic: bool = False) -> DataFrame:
+    def describe(
+        self,
+        y: DataFrame,
+        value_col: str = "y",
+        deterministic: bool = False,
+        q: tuple[float, float] | None = None,
+    ) -> DataFrame:
         """Per-focal stats of neighbor values (graph/base.py:2921-2989).
+
+        Full reference stat set: count, mean, std, min, max, sum, nunique,
+        median (exact, linear interpolation) and mode (most frequent value;
+        ties resolved to the LOWEST value, matching the reference's
+        ``_mode`` argmax over sorted uniques, graph/_utils.py:284-295).
+
+        ``q=(lo, hi)`` applies the reference's percentile filtration
+        (graph/_utils.py:297-307 ``_limit_range`` +
+        :357-385 ``_percentile_filtration_grouper``): per neighborhood, keep
+        only values within the interpolated [lo, hi] percentiles before
+        aggregating; neighborhoods with <= 2 values are kept whole. The
+        bounds are a groupBy + re-join on focal (hash-partitioned both
+        sides), not a global window.
 
         ``deterministic=True`` computes mean/std/sum from sorted-fold sums
         (bit-identical across partitionings; std via the explicit
         (ss - n·m²)/(n-1) form, NULL for singleton groups).
         """
         yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__y"))
-        grouped = (
-            _real_edges(self.edges)
-            .join(yn, "neighbor")
-            .groupBy(F.col("focal").alias("id"))
+        joined = _real_edges(self.edges).join(yn, "neighbor")
+        if q is not None:
+            lo, hi = float(q[0]) / 100.0, float(q[1]) / 100.0
+            bounds = joined.groupBy("focal").agg(
+                F.count("__y").alias("__qn"),
+                F.percentile("__y", F.lit(lo)).alias("__qlo"),
+                F.percentile("__y", F.lit(hi)).alias("__qhi"),
+            )
+            joined = (
+                joined.join(bounds, "focal")
+                .filter(
+                    (F.col("__qn") <= 2)
+                    | ((F.col("__y") >= F.col("__qlo")) & (F.col("__y") <= F.col("__qhi")))
+                )
+                .drop("__qn", "__qlo", "__qhi")
+            )
+        # mode: occurrence counts per (focal, value), lowest value wins ties
+        mw = Window.partitionBy("focal").orderBy(F.col("__mc").desc(), F.col("__y").asc())
+        mode = (
+            joined.groupBy("focal", "__y")
+            .agg(F.count("*").alias("__mc"))
+            .withColumn("__rk", F.row_number().over(mw))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("focal").alias("id"), F.col("__y").alias("mode"))
         )
+        grouped = joined.groupBy(F.col("focal").alias("id"))
         if deterministic:
             from libpysal_spark.functions.detagg import det_sum
 
@@ -456,6 +537,7 @@ class Graph:
                 F.min("__y").alias("min"),
                 F.max("__y").alias("max"),
                 F.countDistinct("__y").alias("nunique"),
+                F.median("__y").alias("median"),
             )
             n = F.col("count").cast("double")
             m = F.col("sum") / n
@@ -463,19 +545,22 @@ class Graph:
                 F.col("count") > 1,
                 F.sqrt((F.col("__ss") - n * (m * m)) / (n - F.lit(1.0))),
             )
-            return base.select(
+            base = base.select(
                 "id", "count", m.alias("mean"), std.alias("std"),
-                "min", "max", "sum", "nunique",
+                "min", "max", "sum", "nunique", "median",
             )
-        return grouped.agg(
-            F.count("__y").alias("count"),
-            F.avg("__y").alias("mean"),
-            F.stddev_samp("__y").alias("std"),
-            F.min("__y").alias("min"),
-            F.max("__y").alias("max"),
-            F.sum("__y").alias("sum"),
-            F.countDistinct("__y").alias("nunique"),
-        )
+        else:
+            base = grouped.agg(
+                F.count("__y").alias("count"),
+                F.avg("__y").alias("mean"),
+                F.stddev_samp("__y").alias("std"),
+                F.min("__y").alias("min"),
+                F.max("__y").alias("max"),
+                F.sum("__y").alias("sum"),
+                F.countDistinct("__y").alias("nunique"),
+                F.median("__y").alias("median"),
+            )
+        return base.join(mode, "id")
 
     def cardinalities(self) -> DataFrame:
         """Per-node degree; isolates → 0 (weights/weights.py:748, graph/base.py:1934)."""
@@ -491,10 +576,19 @@ class Graph:
         )
 
     def summary(self) -> DataFrame:
-        """One-row DataFrame of (n, n_edges, s0, s1, s2).
+        """One-row DataFrame of (n, n_edges, s0, s1, s2, trcW2, trcWtW,
+        trcWtW_WW).
 
         s0 = Σ w_ij; s1 = ½ Σ_ij (w_ij + w_ji)²;
         s2 = Σ_i (Σ_j w_ji + Σ_j w_ij)²  — reference weights/weights.py:610-737.
+
+        Traces (reference weights/weights.py:669-737; doctest goldens at
+        :109-116 — lat2W(100,100): trcW2 = trcWtW = 39600.0):
+        trcW2 = tr(WW) = Σ_ij w_ij·w_ji  (inner self-join on the swapped key);
+        trcWtW = tr(W'W) = Σ_ij w_ij²    (plain aggregate);
+        trcWtW_WW = tr(W'W + WW) = trcWtW + trcW2.
+        All are 2-hop join-aggregates over the edge list — the same shuffle
+        shape as s1/s2, never a materialized matrix.
         """
         e = _real_edges(self.edges)
         rev = e.select(
@@ -506,8 +600,12 @@ class Graph:
             "focal",
             "neighbor",
             (F.coalesce("weight", F.lit(0.0)) + F.coalesce("weight_rev", F.lit(0.0))).alias("__s"),
+            (F.coalesce("weight", F.lit(0.0)) * F.coalesce("weight_rev", F.lit(0.0))).alias("__p"),
         )
-        s1 = pair.agg((F.sum(F.col("__s") ** 2) / 2.0).alias("s1"))
+        s1 = pair.agg(
+            (F.sum(F.col("__s") ** 2) / 2.0).alias("s1"),
+            F.sum("__p").alias("trcW2"),
+        )
         rows = e.groupBy(F.col("focal").alias("id")).agg(F.sum("weight").alias("__r"))
         cols = e.groupBy(F.col("neighbor").alias("id")).agg(F.sum("weight").alias("__c"))
         s2 = (
@@ -528,7 +626,9 @@ class Graph:
             ).alias("n_edges"),
             F.sum("weight").alias("s0"),
         )
-        return base.crossJoin(s1).crossJoin(s2)
+        wtw = e.agg(F.sum(F.col("weight") * F.col("weight")).alias("trcWtW"))
+        out = base.crossJoin(s1).crossJoin(s2).crossJoin(wtw)
+        return out.withColumn("trcWtW_WW", F.col("trcWtW") + F.col("trcW2"))
 
     def w_clip(self, other: "Graph") -> "Graph":
         """Elementwise multiply by the binary pattern of ``other``
@@ -592,6 +692,18 @@ class Graph:
                 )
             return out.filter(F.col("u") != F.col("v")).distinct()
 
+        def _sig(df: DataFrame) -> tuple:
+            # order-independent fixed-point signature: (row count, hash sum).
+            # ONE aggregate instead of two full exceptAll sort-merge joins per
+            # round; the contraction is monotone, so a stable signature means
+            # a stable edge set (collision odds ~2^-90, and max_iters caps the
+            # loop regardless).
+            r = df.agg(
+                F.count("*").alias("c"),
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))).alias("h"),
+            ).first()
+            return (r["c"], r["h"])
+
         e = (
             _real_edges(self.edges)
             .select(F.col("focal").alias("u"), F.col("neighbor").alias("v"))
@@ -599,15 +711,17 @@ class Graph:
             .distinct()
             .localCheckpoint()
         )
+        prev = _sig(e)
         for _ in range(max_iters):
             e1 = star(e, large=True).localCheckpoint()
             e2 = star(e1, large=False).localCheckpoint()
-            unchanged = e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+            cur = _sig(e2)
             e.unpersist()
             e1.unpersist()
             e = e2
-            if unchanged:
+            if cur == prev:
                 break
+            prev = cur
         # converged edge set is a union of stars (child -> root)
         roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
         return (
@@ -626,7 +740,11 @@ class Graph:
         Triangle counting as a 2-hop join: edges (i,j) x edges (i,k) semi-
         joined against the edge set on (j,k).
         """
-        e = _real_edges(self.edges).select("focal", "neighbor").distinct().persist()
+        # localCheckpoint (not persist): materialized once for the three
+        # consumers below, and the blocks are GC-reclaimed when the plan is
+        # dropped — persist() would pin the cache for the session lifetime
+        # (a leak across a long multi-query battery).
+        e = _real_edges(self.edges).select("focal", "neighbor").distinct().localCheckpoint()
         deg = e.groupBy(F.col("focal").alias("id")).agg(F.count("*").alias("__k"))
         jk = (
             e.select(F.col("focal").alias("i"), F.col("neighbor").alias("j"))
@@ -670,6 +788,65 @@ class Graph:
         joined = _real_edges(self.edges).join(yn, "neighbor")
         return joined.groupBy("focal").applyInPandas(func, schema)
 
+    # -- adjacency-list tools (reference: weights/adjtools.py) ------------
+    def adjlist(self, drop_islands: bool = True) -> DataFrame:
+        """(focal, neighbor, weight) adjacency-list view
+        (reference: weights/weights.py ``to_adjlist``, adjtools._get_W_and_alist)."""
+        e = _real_edges(self.edges) if drop_islands else self.edges
+        return e.select(*EDGE_COLS)
+
+    def adjlist_apply(self, y: DataFrame, func=None, value_col: str = "y") -> DataFrame:
+        """Apply a two-argument function to each (focal attr, neighbor attr) pair.
+
+        Reference: weights/adjtools.py:6-127 ``adjlist_apply`` — SURVEY notes
+        that file "is literally the Spark plan written in pandas": two
+        attribute joins + a per-row expression. ``func`` takes two Columns and
+        returns a Column (default: subtraction, the reference's np.subtract
+        default); the whole thing stays in whole-stage codegen.
+
+        Returns (focal, neighbor, weight, att_focal, att_neighbor, result).
+        """
+        if func is None:
+            func = lambda f, n: f - n  # noqa: E731  (reference default np.subtract)
+        yf = y.select(F.col("id").alias("focal"), F.col(value_col).alias("att_focal"))
+        yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("att_neighbor"))
+        return (
+            _real_edges(self.edges)
+            .join(yf, "focal")
+            .join(yn, "neighbor")
+            .select(
+                "focal", "neighbor", "weight", "att_focal", "att_neighbor",
+                func(F.col("att_focal"), F.col("att_neighbor")).alias("result"),
+            )
+        )
+
+    def adjlist_map(self, data: DataFrame, funcs=None, value_cols: list[str] | None = None) -> DataFrame:
+        """Map one function per attribute column over the adjacency list.
+
+        Reference: weights/adjtools.py:157-228 ``adjlist_map``. One pair of
+        joins total (NOT one per column, unlike the reference's loop) — all
+        per-column expressions evaluate in the same projection. Output columns
+        are named ``apply_<col>``.
+        """
+        value_cols = value_cols or [c for c in data.columns if c != "id"]
+        if funcs is None or callable(funcs):
+            one = funcs or (lambda f, n: f - n)
+            funcs = [one] * len(value_cols)
+        yf = data.select(
+            F.col("id").alias("focal"),
+            *[F.col(c).alias(f"__f_{c}") for c in value_cols],
+        )
+        yn = data.select(
+            F.col("id").alias("neighbor"),
+            *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+        )
+        joined = _real_edges(self.edges).join(yf, "focal").join(yn, "neighbor")
+        outs = [
+            fn(F.col(f"__f_{c}"), F.col(f"__n_{c}")).alias(f"apply_{c}")
+            for fn, c in zip(funcs, value_cols)
+        ]
+        return joined.select("focal", "neighbor", "weight", *outs)
+
     @classmethod
     def from_adjacency(
         cls, adj: DataFrame, focal_col: str = "focal", neighbor_col: str = "neighbor",
@@ -692,6 +869,24 @@ class Graph:
         )
         ids = e.select(F.col("focal").alias("id")).distinct()
         return cls(resolve_isolates(e.filter(F.col("focal") != F.col("neighbor")), ids))
+
+    def filter_adjlist(self, adjlist: DataFrame | None = None) -> DataFrame:
+        """Deduplicate an adjacency list to one row per undirected pair.
+
+        Reference: weights/adjtools.py:230-268 ``filter_adjlist`` (keeps the
+        first-encountered direction in iteration order; Spark has no row
+        order, so the canonical direction is pinned to (min, max) — an edge
+        (b, a) with b > a survives only when its mirror (a, b) is absent).
+        """
+        al = adjlist if adjlist is not None else self.adjlist()
+        lower = al.filter(F.col("focal") <= F.col("neighbor"))
+        mirrored = lower.select(
+            F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor")
+        )
+        upper_only = al.filter(F.col("focal") > F.col("neighbor")).join(
+            mirrored, ["focal", "neighbor"], "left_anti"
+        )
+        return lower.unionByName(upper_only)
 
     def islands(self) -> DataFrame:
         """Ids encoded as isolates (zero-weight self loops)."""

@@ -167,10 +167,15 @@ def delaunay(points: DataFrame, cells_per_side: int = 1, halo_cells: int = 1) ->
     For >1, points are gridded; each cell triangulates own+halo points plus
     the GLOBAL CONVEX HULL points as ghosts (the only points that form
     super-long Delaunay edges; broadcasting them repairs the hull-spanning
-    edges a bounded halo would miss). Exact when interior circumradii fit in
-    the halo — holds for quasi-uniform web geodata; residual error is only
-    ever MISSING long edges, never spurious ones (locality of the
-    empty-circumcircle certificate).
+    edges a bounded halo would miss). Exact when every local circumradius
+    fits in the halo — holds for quasi-uniform web geodata. When that bound
+    is violated the residual error can go BOTH ways: long true edges can be
+    missing, and a cell can emit a spurious edge whose circumcircle is
+    emptied only by a point beyond the halo (circumcircle emptiness cannot
+    be certified locally). Callers needing certainty should compare the max
+    local circumradius against the halo width and widen the halo when it
+    does not fit; tests/test_delaunay.py pins partitioned == exact on the
+    fixtures.
     """
     spark = points.sparkSession
     pts = points.select("id", "x", "y")

@@ -209,14 +209,20 @@ def knn_table(
                 ) <= guarantee),
             )
         ).persist()
+        # eager localCheckpoints cut the lineage so topk's cache can be
+        # RELEASED at the end of the round (persist without unpersist would
+        # pin every round's candidates for the whole session — a leak flagged
+        # in long multi-query batteries). On a real cluster these become
+        # reliable checkpoints (also the resume points).
         resolved_parts.append(
-            topk.filter(F.col("__ok")).select("focal", "neighbor", "dist")
+            topk.filter(F.col("__ok")).select("focal", "neighbor", "dist").localCheckpoint()
         )
         ok_ids = topk.filter(F.col("__ok")).select(F.col("focal").alias("id")).distinct()
-        n_ok = ok_ids.count()
-        unresolved = unresolved.join(ok_ids, "id", "left_anti")
-        n_unresolved -= n_ok
+        unresolved = unresolved.join(ok_ids, "id", "left_anti").localCheckpoint()
+        n_unresolved = unresolved.count()
+        topk.unpersist()
         r *= 2
+    all_pts.unpersist()
 
     if n_unresolved > 0:
         # residue: brute-force against all points; unresolved side is small →

@@ -9,16 +9,22 @@ Reference semantics (weights/gabriel.py):
   max(d_ik, d_jk) < d_ij (strict).
 
 Spark design: these are *relational* definitions — a candidate-pair table
-anti-joined against a blocker-witness table. Two modes:
+anti-joined against a blocker-witness table. Three modes:
 
-- ``candidate_radius=None``: exact brute force (cross join); test scale only.
-- ``candidate_radius=R``: grid-pruned. Candidate edges come from the band
-  join (d <= R); a blocker for (i, j) must lie inside the diameter circle,
-  i.e. within d_ij/2 of the midpoint, so blockers are found by a ring join on
-  midpoint cells of size R/2. Exact whenever R >= the longest Gabriel/RNG
-  edge (Gabriel/RNG edges are Delaunay edges, which are short in
-  quasi-uniform data); callers should verify no surviving edge is within one
-  cell of R and widen otherwise.
+- default (``method="delaunay"``): candidates are the DELAUNAY EDGES
+  (RNG ⊆ Gabriel ⊆ Delaunay — the same containment the reference exploits by
+  filtering Delaunay simplices, weights/gabriel.py:285-370), so the candidate
+  set is O(3N) rows instead of a radius band; blockers are found by the grid
+  ring join sized by the max candidate length. No cross join anywhere in the
+  plan — this is the shape that survives 100×.
+- ``candidate_radius=R``: grid-pruned band join (d <= R) candidates. Exact
+  whenever R >= the longest Gabriel/RNG edge.
+- ``method="brute"``: exact O(N²) cross join; pytest cross-check only.
+
+Blocker-cover correctness for the grid search: a Gabriel blocker lies inside
+the diameter circle (within d_ij/2 <= R/2 of the midpoint); an RNG blocker
+lies in the lune (within sqrt(3)/2 · d_ij <= 0.87R of the midpoint). The ±2
+ring over cells of size R/2 covers radius R around the midpoint — both fit.
 """
 
 from __future__ import annotations
@@ -98,13 +104,63 @@ def _blockers_grid(pairs: DataFrame, points: DataFrame, predicate, radius: float
     return pairs.join(witnesses, ["focal", "neighbor"], "left_anti")
 
 
-def _build(points: DataFrame, predicate_builder, candidate_radius: float | None) -> Graph:
-    if candidate_radius is None:
+def _delaunay_candidates(points: DataFrame, cells_per_side: int = 1) -> DataFrame:
+    """Candidate pairs = Delaunay edges (both directions) with coords + dist.
+
+    Since RNG ⊆ Gabriel ⊆ Delaunay, filtering the triangulation's own edges
+    is exact and keeps the candidate table linear in N — the reference's
+    strategy (weights/gabriel.py:285-330 filters Delaunay simplices) made
+    relational.
+    """
+    from libpysal_spark.operators.delaunay import delaunay
+
+    g = delaunay(points, cells_per_side=cells_per_side)
+    e = g.edges.filter(
+        ~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
+    ).select("focal", "neighbor")
+    pf = points.select(
+        F.col("id").alias("focal"), F.col("x").alias("x_f"), F.col("y").alias("y_f")
+    )
+    pn = points.select(
+        F.col("id").alias("neighbor"), F.col("x").alias("x_n"), F.col("y").alias("y_n")
+    )
+    return (
+        e.join(pf, "focal")
+        .join(pn, "neighbor")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                (F.col("x_f") - F.col("x_n")) * (F.col("x_f") - F.col("x_n"))
+                + (F.col("y_f") - F.col("y_n")) * (F.col("y_f") - F.col("y_n"))
+            ),
+        )
+    )
+
+
+def _build(
+    points: DataFrame,
+    predicate_builder,
+    candidate_radius: float | None,
+    method: str = "delaunay",
+    cells_per_side: int = 1,
+) -> Graph:
+    if candidate_radius is not None:
+        pairs = candidate_pairs(points, candidate_radius)
+        kept = _blockers_grid(pairs, points, predicate_builder(), candidate_radius)
+    elif method == "brute":
         pairs = _all_pairs(points)
         kept = _blockers_brute(pairs, points, predicate_builder())
     else:
-        pairs = candidate_pairs(points, candidate_radius)
-        kept = _blockers_grid(pairs, points, predicate_builder(), candidate_radius)
+        # localCheckpoint: the candidate table is consumed twice (max-dist
+        # scalar + the blocker join) and is tiny (O(3N) rows).
+        pairs = _delaunay_candidates(points, cells_per_side).localCheckpoint()
+        max_d = pairs.agg(F.max("dist")).first()[0]
+        if max_d is None:
+            kept = pairs
+        else:
+            kept = _blockers_grid(
+                pairs, points, predicate_builder(), float(max_d) * 1.0000001
+            )
     edges = kept.select("focal", "neighbor").withColumn("weight", F.lit(1.0))
     return Graph(resolve_isolates(edges, points.select("id")))
 
@@ -116,8 +172,18 @@ def _d2(ax, ay, bx, by):
     return dx * dx + dy * dy
 
 
-def gabriel(points: DataFrame, candidate_radius: float | None = None) -> Graph:
-    """Gabriel graph (reference: weights/gabriel.py:285-330)."""
+def gabriel(
+    points: DataFrame,
+    candidate_radius: float | None = None,
+    method: str = "delaunay",
+    cells_per_side: int = 1,
+) -> Graph:
+    """Gabriel graph (reference: weights/gabriel.py:285-330).
+
+    Default mode filters Delaunay edges through the blocker anti-join (no
+    cross join in the plan); ``method="brute"`` is the exact O(N²)
+    cross-check; ``candidate_radius`` selects the band-join grid mode.
+    """
 
     def pred():
         dij2 = _d2("x_f", "y_f", "x_n", "y_n")
@@ -125,10 +191,15 @@ def gabriel(points: DataFrame, candidate_radius: float | None = None) -> Graph:
         djk2 = _d2("x_n", "y_n", "x_k", "y_k")
         return dij2 > (dik2 + djk2)
 
-    return _build(points, pred, candidate_radius)
+    return _build(points, pred, candidate_radius, method, cells_per_side)
 
 
-def relative_neighborhood(points: DataFrame, candidate_radius: float | None = None) -> Graph:
+def relative_neighborhood(
+    points: DataFrame,
+    candidate_radius: float | None = None,
+    method: str = "delaunay",
+    cells_per_side: int = 1,
+) -> Graph:
     """Relative neighborhood graph (reference: weights/gabriel.py:333-370)."""
 
     def pred():
@@ -137,4 +208,4 @@ def relative_neighborhood(points: DataFrame, candidate_radius: float | None = No
         djk = F.sqrt(_d2("x_n", "y_n", "x_k", "y_k"))
         return F.greatest(dik, djk) < dij
 
-    return _build(points, pred, candidate_radius)
+    return _build(points, pred, candidate_radius, method, cells_per_side)

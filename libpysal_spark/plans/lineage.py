@@ -62,6 +62,14 @@ def write_with_lineage(
 
     mode='resume' (default): skip partitions already committed in the
     manifest; mode='overwrite': start fresh. Returns the updated manifest.
+
+    Crash safety: the data job commits BEFORE the manifest is written, so a
+    crash in between leaves partitions on disk that the manifest considers
+    uncommitted. The resume write therefore uses DYNAMIC partition overwrite
+    (replace exactly the partitions present in ``todo``), never append — a
+    re-run REPLACES any partially/fully written-but-unmanifested partition
+    instead of duplicating its rows. On Iceberg this is the snapshot
+    overwrite of the same partitions.
     """
     manifest = {"partitions": {}} if mode == "overwrite" else load_manifest(path)
     done = [v for v in manifest["partitions"]]
@@ -74,11 +82,22 @@ def write_with_lineage(
         for r in todo.groupBy(partition_col).agg(*_checksum_cols(df, partition_col)).collect()
     }
     if stats:
-        (
-            todo.write.mode("overwrite" if mode == "overwrite" else "append")
-            .partitionBy(partition_col)
-            .parquet(path)
+        spark = df.sparkSession
+        prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        # resume: replace only the partitions being (re)written;
+        # overwrite: static mode wipes the whole dataset first.
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic" if mode == "resume" else "static",
         )
+        try:
+            (
+                todo.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
     todo.unpersist()
     now = time.time()
     for k, v in stats.items():

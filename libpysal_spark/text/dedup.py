@@ -198,7 +198,7 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 6, block_bits: int = 8, bits: int = 32
+    sims: DataFrame, max_hamming: int = 6, block_bits: int = 4, bits: int = 32
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance, pruned by byte-block LSH.
 
@@ -206,8 +206,16 @@ def simhash_near_pairs(
     into ``bits/block_bits`` blocks with more blocks than max_hamming, some
     block matches exactly — join on (block_idx, block_value), then verify with
     bit_count(xor). For small inputs callers may instead cross-join.
+
+    Raises when the pigeonhole premise fails (blocks <= max_hamming): a pair
+    could then differ in every block and be silently missed.
     """
     nblocks = bits // block_bits
+    if nblocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole violated: bits//block_bits = {nblocks} blocks must "
+            f"exceed max_hamming = {max_hamming}; lower block_bits"
+        )
     mask = (1 << block_bits) - 1
     blocks = sims.select(
         "doc_id",

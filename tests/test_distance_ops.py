@@ -118,6 +118,19 @@ def test_gabriel_bruteforce(spark):
     assert got == _brute_gabriel(ids, xy)
 
 
+def test_triangulation_modes_agree(spark):
+    """Default (Delaunay-candidate) mode == exact brute mode, both graphs."""
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(40)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    for op in (gabriel, relative_neighborhood):
+        fast = {(r.focal, r.neighbor, r.weight) for r in op(pts).edges.collect()}
+        brute = {
+            (r.focal, r.neighbor, r.weight)
+            for r in op(pts, method="brute").edges.collect()
+        }
+        assert fast == brute
+
+
 def test_rng_subset_of_gabriel(spark):
     rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(30)]
     pts = spark.createDataFrame(rows, "id long, x double, y double")

@@ -119,6 +119,67 @@ def test_describe(spark, path4):
     assert 9 not in d  # isolates have no neighbor stats
 
 
+def test_describe_median_mode(spark, path4):
+    y = spark.createDataFrame(
+        [(0, 2.0), (1, 4.0), (2, 6.0), (3, 8.0), (9, 1.0)], "id long, y double"
+    )
+    d = {r.id: r for r in path4.describe(y, deterministic=True).collect()}
+    assert d[1]["median"] == 4.0  # values {2, 6} -> interpolated midpoint
+    assert d[2]["median"] == 6.0  # values {4, 8}
+    assert d[0]["mode"] == 4.0  # single value
+    # tie -> lowest value (reference graph/_utils.py:284-295 argmax over
+    # sorted uniques)
+    assert d[1]["mode"] == 2.0
+
+
+def test_describe_percentile_filtration(spark):
+    # star: node 0 with five neighbors carrying values 1..100; q=(25,75)
+    # keeps values within the interpolated [25th, 75th] percentile band
+    g = Graph.from_dicts(spark, {0: [1, 2, 3, 4, 5]})
+    y = spark.createDataFrame(
+        [(1, 1.0), (2, 10.0), (3, 20.0), (4, 30.0), (5, 100.0), (0, 0.0)],
+        "id long, y double",
+    )
+    d = {r.id: r for r in g.describe(y, q=(25.0, 75.0)).collect()}
+    # percentiles of [1,10,20,30,100]: q25 = 10.0, q75 = 30.0 -> keep {10,20,30}
+    assert d[0]["count"] == 3 and d[0]["min"] == 10.0 and d[0]["max"] == 30.0
+    assert d[0]["sum"] == 60.0
+    # groups with <= 2 values are kept whole (reference _limit_range guard)
+    g2 = Graph.from_dicts(spark, {0: [1, 2]})
+    d2 = {r.id: r for r in g2.describe(y, q=(40.0, 60.0)).collect()}
+    assert d2[0]["count"] == 2
+
+
+def test_adjlist_apply_and_map(spark, path4):
+    y = spark.createDataFrame(
+        [(0, 2.0), (1, 4.0), (2, 6.0), (3, 8.0), (9, 1.0)], "id long, y double"
+    )
+    out = {
+        (r.focal, r.neighbor): (r.att_focal, r.att_neighbor, r.result)
+        for r in path4.adjlist_apply(y).collect()
+    }
+    assert out[(0, 1)] == (2.0, 4.0, -2.0)  # default func = subtract
+    assert out[(2, 3)] == (6.0, 8.0, -2.0)
+    assert (9, 9) not in out  # islands dropped
+    data = y.withColumn("z", F.col("y") * 10)
+    m = {
+        (r.focal, r.neighbor): (r.apply_y, r.apply_z)
+        for r in path4.adjlist_map(data, funcs=lambda f, n: f + n).collect()
+    }
+    assert m[(0, 1)] == (6.0, 60.0)
+
+
+def test_filter_adjlist(spark, path4):
+    kept = {
+        (r.focal, r.neighbor) for r in path4.filter_adjlist().collect()
+    }
+    assert kept == {(0, 1), (1, 2), (2, 3)}
+    # asymmetric list: a lone (b, a) with b > a must survive
+    g = Graph.from_dicts(spark, {5: [2], 2: []})
+    kept2 = {(r.focal, r.neighbor) for r in g.filter_adjlist().collect()}
+    assert kept2 == {(5, 2)}
+
+
 def test_lag_categorical(spark):
     g = Graph.from_dicts(spark, {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]})
     y = spark.createDataFrame(

@@ -46,6 +46,31 @@ def test_write_verify_resume(spark, edges, tmp_path):
     assert set(verify(spark, path).values()) == {"ok"}
 
 
+def test_resume_after_crash_between_data_and_manifest(spark, edges, tmp_path):
+    """ADVICE r1: parquet commits before the manifest write; a crash in the
+    gap must NOT duplicate rows on resume (dynamic partition overwrite
+    replaces the orphaned partitions instead of appending)."""
+    path = str(tmp_path / "edges_crash")
+    total = edges.count()
+
+    m1 = write_with_lineage(edges.filter(F.col("bucket") < 4), path, "bucket")
+    assert len(m1["partitions"]) == 4
+
+    # simulate the crash: buckets 4-5 land on disk but the manifest write
+    # never happened (roll the manifest back to m1's state)
+    mp = os.path.join(path, "_lineage.json")
+    write_with_lineage(edges.filter(F.col("bucket") < 6), path, "bucket")
+    json.dump(m1, open(mp, "w"))
+
+    # resume with the full dataset: buckets 4-7 are recomputed; 4-5 must be
+    # REPLACED, not appended
+    m3 = write_with_lineage(edges, path, "bucket")
+    assert len(m3["partitions"]) == 8
+    stored = spark.read.parquet(path)
+    assert stored.count() == total
+    assert set(verify(spark, path).values()) == {"ok"}
+
+
 def test_verify_detects_corruption(spark, edges, tmp_path):
     path = str(tmp_path / "edges2")
     write_with_lineage(edges, path, "bucket")

@@ -78,6 +78,19 @@ def test_lat2w_rook_goldens(spark):
     assert abs(summ.n_edges / summ.n**2 * 100 - 29.62962962962963) < 1e-9
 
 
+def test_lat2w_trace_goldens(spark):
+    """W traces vs reference doctest values (weights/weights.py:109-116):
+    lat2W(100,100) binary: trcW2 = trcWtW = 39600.0; row-standardized:
+    trcW2 = 2530.722, trcWtW = 2533.667 (rounded to 3)."""
+    g = lat2w(spark, 100, 100, "rook")
+    s = g.summary().first()
+    assert s.trcW2 == 39600.0 and s.trcWtW == 39600.0
+    assert s.trcWtW_WW == 79200.0
+    r = g.transform("R").summary().first()
+    assert abs(round(r.trcW2, 3) - 2530.722) < 1e-9
+    assert abs(round(r.trcWtW, 3) - 2533.667) < 1e-9
+
+
 def test_lat2w_queen(spark):
     nbrs = _neighbors(lat2w(spark, 3, 3, "queen"))
     assert nbrs[4] == {0, 1, 2, 3, 5, 6, 7, 8}

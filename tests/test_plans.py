@@ -52,6 +52,52 @@ def test_queen_plan_is_pure_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_triangulation_default_has_no_cross_join(spark):
+    """VERDICT r1 #1: the graded Gabriel/RNG plans must not contain the
+    O(N²) CartesianProduct — candidates come from the Delaunay edge set."""
+    from libpysal_spark.operators.triangulation import gabriel, relative_neighborhood
+
+    pts = document_points(spark, SF)
+    for g in (gabriel(pts), relative_neighborhood(pts)):
+        plan = _formatted(g.edges)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _no_unpartitioned_window(plan: str):
+    # an empty partitionBy compiles to windowspecdefinition(specifiedwindowframe…)
+    # with NO partition columns — the whole-table-through-one-task shape.
+    for line in plan.splitlines():
+        if "windowspecdefinition(specifiedwindowframe" in line:
+            raise AssertionError(f"unpartitioned window: {line.strip()[:120]}")
+
+
+def test_transform_scalars_are_not_single_partition_windows(spark):
+    """VERDICT r1 #2: transform D/V global scalars must be agg + broadcast,
+    never an empty-partitionBy window. A SinglePartition exchange feeding the
+    1-row scalar aggregate is fine (map-side partials arrive pre-reduced);
+    what must NOT exist is a Window with an empty partition spec."""
+    from libpysal_spark.operators.distance import distance_band
+
+    g = distance_band(document_points(spark, SF), 20.0)
+    for scheme in ("D", "V"):
+        plan = _formatted(g.transform(scheme).edges)
+        _no_unpartitioned_window(plan)
+    # D needs no window at all
+    assert "Window" not in _formatted(g.transform("D").edges)
+
+
+def test_dense_id_mapping_has_no_global_sort_window(spark):
+    """VERDICT r1 #3: the WSP bridge must rank within range partitions —
+    no SinglePartition exchange, no unpartitioned window."""
+    from libpysal_spark.operators.distance import distance_band
+
+    g = distance_band(document_points(spark, SF), 20.0)
+    plan = _formatted(g.dense_id_mapping())
+    assert "SinglePartition" not in plan
+    _no_unpartitioned_window(plan)
+
+
 def test_filter_pushdown_reaches_scan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _formatted(docs.filter(F.col("doc_id") < 100).select("doc_id", "lang"))

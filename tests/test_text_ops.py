@@ -43,8 +43,13 @@ def test_simhash_identical_is_zero_hamming(spark):
     rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "one two three four")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     sims = D.simhash(df)
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(sims, max_hamming=32, block_bits=4).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(sims, max_hamming=7, block_bits=4).collect()}
     assert pairs[(0, 1)] == 0
+    # pigeonhole premise enforced: blocks must outnumber max_hamming
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.simhash_near_pairs(sims, max_hamming=8, block_bits=4)
 
 
 def test_language_id_markers(spark):
