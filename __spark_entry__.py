@@ -633,6 +633,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_coplanar_cliques"] = _cliques
 
+    # --- coplanar 'jitter' policy (graph/_utils.py:65-126 _jitter_geoms) ---
+    def _knn_jitter(s, d):
+        from libpysal_spark.operators.distance import knn_jitter
+
+        cust = s.read.parquet(f"{d}/customer.parquet")
+        x, y = geocode_exprs("__site")
+        pts = cust.select(
+            F.col("c_custkey").alias("id"), (F.col("c_custkey") % 300).alias("__site")
+        ).select("id", x.alias("x"), y.alias("y"))
+        return _edges_out(knn_jitter(pts, 3, magnitude=0.5, seed=0))
+
+    q["knn_jitter"] = _knn_jitter
+
     # --- triangulation: Delaunay / Voronoi duality (no SQL oracle — Delaunay
     # is not SQL-expressible; the driver records the weaker rows-only check;
     # exactness is covered by tests/test_delaunay.py property checks) ---
@@ -649,6 +662,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _edges_out(voronoi_weights(_points(s, d, "supplier")))
 
     q["voronoi"] = _voronoi
+
+    def _voronoi_clipped(s, d):
+        from libpysal_spark.operators.delaunay import voronoi_weights
+
+        return _edges_out(voronoi_weights(_points(s, d, "supplier"), clip="extent"))
+
+    q["voronoi_clipped"] = _voronoi_clipped
+
+    def _alpha(s, d):
+        from libpysal_spark.operators.delaunay import alpha_shape_edges
+
+        return alpha_shape_edges(_points(s, d, "supplier"), alpha=0.02).orderBy(
+            "focal", "neighbor"
+        )
+
+    q["alpha_shape"] = _alpha
+
+    def _matching(s, d):
+        from libpysal_spark.operators.matching import spatial_matching
+
+        pts = _points(s, d, "supplier").filter(F.col("id") <= 16)
+        return _edges_out(spatial_matching(pts))
+
+    q["spatial_matching"] = _matching
 
     # --- embedding near-duplicates (training-data op) ---
     def _embdup(s, d):
@@ -684,6 +721,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _edges_out(fuzzy_contiguity(polys, 1.0))
 
     q["fuzzy_contiguity"] = _fuzzy
+
+    # --- non-planar island repair (weights/util.py:1346 nonplanar_neighbors) ---
+    def _nonplanar(s, d):
+        from libpysal_spark.operators.contiguity import fuzzy_contiguity, nonplanar_neighbors
+
+        pos, side = _lattice_positions(s, d)
+        r = 0.4  # disjoint diamonds: gap 0.2 between rook neighbors
+        ring = F.array(
+            F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+            F.struct((F.col("gx") + r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+            F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") + r).cast("double").alias("y")),
+            F.struct((F.col("gx") - r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+            F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+        )
+        polys = pos.select("id", ring.alias("vertices"))
+        g = fuzzy_contiguity(polys, 1.0)  # all isolates (shapes disjoint)
+        # dilation distance 0.25 => rook pairs overlap (0.65 + 0.4 > 1),
+        # diagonal pairs stay apart (L1 distance 2 > 1.05)
+        tol = 0.25 / ((side - 1) + 2 * r)
+        return _edges_out(nonplanar_neighbors(g, polys, tolerance=tol))
+
+    q["nonplanar_neighbors"] = _nonplanar
 
     # --- island repair (weights/util.py:1297 attach_islands) ---
     def _attach(s, d):
@@ -1628,6 +1687,40 @@ SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
 UNION ALL
 SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
 ORDER BY focal, neighbor"""
+
+    # disjoint diamonds; dilated islands overlap exactly rook-wise
+    o["nonplanar_neighbors"] = f"""
+WITH {_lattice_cte()}, {_lattice_edges('rook')}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM e
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM xy WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    xsj, ysj = geocode_sql("site")
+    _jit = (
+        "(('0x' || substr(md5(concat('0:{ax}:', CAST(id AS VARCHAR))), 1, 15))::BIGINT "
+        "% 2000001 - 1000000) / 1000000.0 * 0.5"
+    )
+    o["knn_jitter"] = f"""
+WITH base AS (SELECT c_custkey AS id, c_custkey % 300 AS site FROM customer),
+p0 AS (SELECT id, {xsj} AS x, {ysj} AS y FROM base),
+pts AS (SELECT id,
+               x + {_jit.format(ax='x')} AS x,
+               y + {_jit.format(ax='y')} AS y
+        FROM p0),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+e AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor,
+           row_number() OVER (PARTITION BY focal ORDER BY dist ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk <= 3
+)
+{_iso_sql()}"""
 
     o["attach_islands"] = f"""
 WITH {_band_cust},

@@ -362,6 +362,167 @@ def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
     return Graph(resolve_isolates(pairs, polygons.select("id")))
 
 
+def _ring_contains(pt_x, pt_y, ring) -> F.Column:
+    """Even-odd crossing test: point strictly inside the closed ring."""
+    pairs = F.arrays_zip(
+        F.slice(ring, 1, F.size(ring) - 1).alias("p"),
+        F.slice(ring, 2, F.size(ring) - 1).alias("q"),
+    )
+    crossings = F.size(
+        F.filter(
+            pairs,
+            lambda s: ((s["p"]["y"] > pt_y) != (s["q"]["y"] > pt_y))
+            & (
+                pt_x
+                < (s["q"]["x"] - s["p"]["x"])
+                * (pt_y - s["p"]["y"])
+                / (s["q"]["y"] - s["p"]["y"])
+                + s["p"]["x"]
+            ),
+        )
+    )
+    return crossings % 2 == 1
+
+
+def _pairs_intersecting(cand: DataFrame) -> DataFrame:
+    """Filter candidate rows (focal, neighbor, va, vb) to truly intersecting
+    polygon pairs: any boundary segment pair crosses, or either first vertex
+    is contained in the other ring (covers full containment)."""
+    crossing = _segment_pairs(cand).filter(_segments_intersect()).select(
+        "focal", "neighbor"
+    ).distinct()
+    contain = cand.filter(
+        _ring_contains(F.col("va")[0]["x"], F.col("va")[0]["y"], F.col("vb"))
+        | _ring_contains(F.col("vb")[0]["x"], F.col("vb")[0]["y"], F.col("va"))
+    ).select("focal", "neighbor")
+    return crossing.unionByName(contain).distinct()
+
+
+def dilate_rings(polygons: DataFrame, distance: float) -> DataFrame:
+    """Displace each vertex radially from the ring centroid by ``distance``.
+
+    Relational stand-in for shapely ``buffer`` (no geometry lib in this
+    engine): exact for convex rings up to the rounded-corner band, which only
+    ever ADDS area near vertices — adequate for the contiguity-repair use
+    (reference buffers by a tolerance fraction, weights/util.py:1448-1452).
+    """
+    cx = F.aggregate(
+        F.slice("vertices", 1, F.size("vertices") - 1),
+        F.lit(0.0), lambda a, v: a + v["x"],
+    ) / (F.size("vertices") - 1)
+    cy = F.aggregate(
+        F.slice("vertices", 1, F.size("vertices") - 1),
+        F.lit(0.0), lambda a, v: a + v["y"],
+    ) / (F.size("vertices") - 1)
+    d = F.lit(float(distance))
+    polys = polygons.withColumn("__cx", cx).withColumn("__cy", cy)
+    moved = F.transform(
+        "vertices",
+        lambda v: F.struct(
+            (
+                v["x"]
+                + F.when(
+                    F.sqrt((v["x"] - F.col("__cx")) ** 2 + (v["y"] - F.col("__cy")) ** 2) > 0,
+                    (v["x"] - F.col("__cx"))
+                    / F.sqrt((v["x"] - F.col("__cx")) ** 2 + (v["y"] - F.col("__cy")) ** 2)
+                    * d,
+                ).otherwise(0.0)
+            ).alias("x"),
+            (
+                v["y"]
+                + F.when(
+                    F.sqrt((v["x"] - F.col("__cx")) ** 2 + (v["y"] - F.col("__cy")) ** 2) > 0,
+                    (v["y"] - F.col("__cy"))
+                    / F.sqrt((v["x"] - F.col("__cx")) ** 2 + (v["y"] - F.col("__cy")) ** 2)
+                    * d,
+                ).otherwise(0.0)
+            ).alias("y"),
+        ),
+    )
+    return polys.withColumn("vertices", moved).drop("__cx", "__cy")
+
+
+def nonplanar_neighbors(
+    g: Graph,
+    polygons: DataFrame,
+    tolerance: float = 0.001,
+    cell_size: float | None = None,
+) -> Graph:
+    """Island repair for non-planar polygon collections.
+
+    Reference: weights/util.py:1346-1467 ``nonplanar_neighbors`` — take the
+    ISLANDS of ``g``, dilate them by ``tolerance * min(bbox extent)``, and
+    re-intersect against all polygons; every hit becomes a symmetric new
+    edge. (The reference's first undilated pass is subsumed: dilation only
+    grows convex rings, so undilated intersections are still found.)
+
+    Scale shape: only the island polygons are dilated and probed — the
+    island side is small by construction, so the bbox-cell candidate join is
+    a broadcast against the full polygon table; nothing quadratic.
+    """
+    islands = g.islands()
+    bounds = polygons.select(
+        F.explode("vertices").alias("v")
+    ).agg(
+        F.min("v.x").alias("x0"), F.max("v.x").alias("x1"),
+        F.min("v.y").alias("y0"), F.max("v.y").alias("y1"),
+    ).first()
+    distance = float(tolerance) * min(bounds.x1 - bounds.x0, bounds.y1 - bounds.y0)
+    if cell_size is None:
+        cell_size = max((bounds.x1 - bounds.x0) / 64.0, distance * 4.0, 1e-9)
+
+    isl_polys = dilate_rings(
+        polygons.join(islands, "id", "left_semi"), distance
+    )
+
+    s = float(cell_size)
+
+    def covered(polys: DataFrame, id_alias: str, v_alias: str) -> DataFrame:
+        from libpysal_spark.tiling import pack_cell
+
+        bbox = polys.select(
+            F.col("id").alias(id_alias),
+            F.col("vertices").alias(v_alias),
+            F.floor(F.array_min(F.transform("vertices", lambda v: v["x"])) / s).alias("cx0"),
+            F.floor(F.array_max(F.transform("vertices", lambda v: v["x"])) / s).alias("cx1"),
+            F.floor(F.array_min(F.transform("vertices", lambda v: v["y"])) / s).alias("cy0"),
+            F.floor(F.array_max(F.transform("vertices", lambda v: v["y"])) / s).alias("cy1"),
+        )
+        return (
+            bbox.withColumn("cx", F.explode(F.sequence("cx0", "cx1")))
+            .withColumn("cy", F.explode(F.sequence("cy0", "cy1")))
+            .select(id_alias, v_alias, pack_cell(F.col("cx"), F.col("cy")).alias("cell"))
+        )
+
+    a = F.broadcast(covered(isl_polys, "focal", "va"))
+    b = covered(polygons, "neighbor", "vb")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("focal") != F.col("neighbor"))
+        .select("focal", "neighbor", "va", "vb")
+        .distinct()
+    )
+    hits = _pairs_intersecting(cand)
+    new_edges = (
+        hits.unionByName(
+            hits.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    kept = g.edges.filter(
+        ~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
+    )
+    all_ids = g.edges.select(F.col("focal").alias("id")).distinct()
+    merged = (
+        kept.select("focal", "neighbor", "weight")
+        .unionByName(new_edges)
+        .groupBy("focal", "neighbor")
+        .agg(F.max("weight").alias("weight"))
+    )
+    return Graph(resolve_isolates(merged, all_ids))
+
+
 def block_weights(labels: DataFrame, id_col: str = "id", label_col: str = "regime") -> Graph:
     """All pairs sharing a regime label, minus self (weights/util.py:235-294).
 

@@ -34,13 +34,11 @@ from pyspark.sql import functions as F
 from libpysal_spark.graph import Graph, resolve_isolates
 
 
-def _bowyer_watson_edges(ids: np.ndarray, xy: np.ndarray) -> set[tuple[int, int]]:
-    """Delaunay edges (as id pairs, a<b) via incremental Bowyer-Watson."""
+def _bowyer_watson_tris(ids: np.ndarray, xy: np.ndarray) -> list[tuple[int, int, int]]:
+    """Delaunay triangles as index triples into (ids, xy) via Bowyer-Watson."""
     n = len(ids)
-    if n < 2:
-        return set()
-    if n == 2:
-        return {(int(min(ids)), int(max(ids)))}
+    if n < 3:
+        return []
     # deterministic insertion order: lexicographic by (x, y, id)
     order = np.lexsort((ids, xy[:, 1], xy[:, 0]))
     pts = xy[order]
@@ -83,16 +81,27 @@ def _bowyer_watson_edges(ids: np.ndarray, xy: np.ndarray) -> set[tuple[int, int]
             tris.append((a, b, pi))
             ccs.append(_circum(all_pts, a, b, pi))
 
-    edges: set[tuple[int, int]] = set()
+    # drop super-triangle triangles; map internal insertion indices back to
+    # the ORIGINAL array positions so callers can fetch coordinates
+    out: list[tuple[int, int, int]] = []
     for a, b, c in tris:
         if a >= n or b >= n or c >= n:
-            # drop triangles touching the super-triangle
-            for u, v in ((a, b), (b, c), (c, a)):
-                if u < n and v < n:
-                    pass  # hull edges also appear in interior triangles
             continue
+        out.append((int(order[a]), int(order[b]), int(order[c])))
+    return out
+
+
+def _bowyer_watson_edges(ids: np.ndarray, xy: np.ndarray) -> set[tuple[int, int]]:
+    """Delaunay edges (as id pairs, a<b) via incremental Bowyer-Watson."""
+    n = len(ids)
+    if n < 2:
+        return set()
+    if n == 2:
+        return {(int(min(ids)), int(max(ids)))}
+    edges: set[tuple[int, int]] = set()
+    for a, b, c in _bowyer_watson_tris(ids, xy):
         for u, v in ((a, b), (b, c), (c, a)):
-            iu, iv = int(pids[u]), int(pids[v])
+            iu, iv = int(ids[u]), int(ids[v])
             edges.add((min(iu, iv), max(iu, iv)))
     return edges
 
@@ -177,6 +186,30 @@ def delaunay(points: DataFrame, cells_per_side: int = 1, halo_cells: int = 1) ->
     does not fit; tests/test_delaunay.py pins partitioned == exact on the
     fixtures.
     """
+    tagged = _tag_cells(points, cells_per_side, halo_cells)
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        xy = pdf[["x", "y"]].to_numpy(dtype=float)
+        owned = set(pdf.loc[pdf["own"], "id"].tolist())
+        edges = _bowyer_watson_edges(ids, xy)
+        rows = [(a, b) for a, b in edges if a in owned]
+        return pd.DataFrame(rows, columns=["focal", "neighbor"])
+
+    local = tagged.groupBy("cell").applyInPandas(tri, "focal long, neighbor long")
+    und = local.distinct()
+    edges = (
+        und.unionByName(
+            und.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(resolve_isolates(edges, points.select("id")))
+
+
+def _tag_cells(points: DataFrame, cells_per_side: int, halo_cells: int) -> DataFrame:
+    """(id, x, y, cell, own) — macro-cell assignment with halo + hull ghosts."""
     spark = points.sparkSession
     pts = points.select("id", "x", "y")
     if cells_per_side == 1:
@@ -230,34 +263,204 @@ def delaunay(points: DataFrame, cells_per_side: int = 1, halo_cells: int = 1) ->
                 F.max("own").alias("own"),
             )
         )
+    return tagged
+
+
+TRIANGLE_SCHEMA = (
+    "a long, b long, c long, ax double, ay double, bx double, by double, "
+    "cx double, cy double, ccx double, ccy double, r2 double"
+)
+
+
+def delaunay_triangles(
+    points: DataFrame, cells_per_side: int = 1, halo_cells: int = 1
+) -> DataFrame:
+    """Delaunay triangles with vertex coordinates + circumcircle.
+
+    Columns: (a, b, c) vertex ids sorted ascending, their coordinates, the
+    circumcenter (ccx, ccy) and squared circumradius r2. Each triangle is
+    emitted by exactly one cell (the one owning its minimum vertex id) —
+    same ownership rule as the edge path. Feeds alpha shapes
+    (reference cg/alpha_shapes.py:385-580: circumradius filtration) and
+    Voronoi clipping (duals of these triangles).
+    """
+    tagged = _tag_cells(points, cells_per_side, halo_cells)
 
     def tri(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         xy = pdf[["x", "y"]].to_numpy(dtype=float)
         owned = set(pdf.loc[pdf["own"], "id"].tolist())
-        edges = _bowyer_watson_edges(ids, xy)
-        rows = [(a, b) for a, b in edges if a in owned]
-        return pd.DataFrame(rows, columns=["focal", "neighbor"])
-
-    local = tagged.groupBy("cell").applyInPandas(tri, "focal long, neighbor long")
-    und = local.distinct()
-    edges = (
-        und.unionByName(
-            und.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+        rows = []
+        for ia, ib, ic in _bowyer_watson_tris(ids, xy):
+            trip = sorted(((int(ids[i]), i) for i in (ia, ib, ic)))
+            if trip[0][0] not in owned:
+                continue
+            (a, pa), (b, pb), (c, pc) = trip
+            ccx, ccy, r2 = _circum(xy, pa, pb, pc)
+            rows.append(
+                (a, b, c,
+                 xy[pa][0], xy[pa][1], xy[pb][0], xy[pb][1], xy[pc][0], xy[pc][1],
+                 ccx, ccy, r2)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["a", "b", "c", "ax", "ay", "bx", "by", "cx", "cy",
+                     "ccx", "ccy", "r2"],
         )
-        .distinct()
+
+    return tagged.groupBy("cell").applyInPandas(tri, TRIANGLE_SCHEMA).distinct()
+
+
+def alpha_shape_triangles(points: DataFrame, alpha: float, cells_per_side: int = 1) -> DataFrame:
+    """Delaunay triangles with circumradius < 1/alpha.
+
+    Reference: cg/alpha_shapes.py:385-460 ``alpha_shape`` — the alpha complex
+    is the circumradius filtration of the Delaunay triangulation. A pure
+    filter over the distributed triangle table.
+    """
+    limit = (1.0 / float(alpha)) ** 2
+    return delaunay_triangles(points, cells_per_side).filter(F.col("r2") < F.lit(limit))
+
+
+def alpha_shape_edges(points: DataFrame, alpha: float, cells_per_side: int = 1) -> DataFrame:
+    """Boundary edges of the alpha shape: edges of exactly ONE kept triangle.
+
+    Returns (focal, neighbor) with focal < neighbor. Reference:
+    cg/alpha_shapes.py:462-580 (boundary extraction of the alpha complex —
+    the reference unions triangle polygons; the boundary of that union is
+    precisely the once-used edge set).
+    """
+    tris = alpha_shape_triangles(points, alpha, cells_per_side)
+    e = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("focal"), F.col("b").alias("neighbor")),
+                F.struct(F.col("b").alias("focal"), F.col("c").alias("neighbor")),
+                F.struct(F.col("a").alias("focal"), F.col("c").alias("neighbor")),
+            )
+        ).alias("e")
+    ).select("e.focal", "e.neighbor")
+    return (
+        e.groupBy("focal", "neighbor")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("focal", "neighbor")
+    )
+
+
+def _segment_hits_box(p0x, p0y, p1x, p1y, bx0, by0, bx1, by1):
+    """Boolean Column: segment P0→P1 intersects the axis-aligned box.
+
+    Liang–Barsky slab test as pure column arithmetic (whole-stage codegen).
+    """
+    inf = F.lit(float("inf"))
+    dx = p1x - p0x
+    dy = p1y - p0y
+
+    def slab(d, p0, lo, hi):
+        t1 = (lo - p0) / d
+        t2 = (hi - p0) / d
+        inside = (p0 >= lo) & (p0 <= hi)
+        tlo = F.when(d != 0.0, F.least(t1, t2)).otherwise(F.when(inside, -inf).otherwise(inf))
+        thi = F.when(d != 0.0, F.greatest(t1, t2)).otherwise(F.when(inside, inf).otherwise(-inf))
+        return tlo, thi
+
+    tx_lo, tx_hi = slab(dx, p0x, bx0, bx1)
+    ty_lo, ty_hi = slab(dy, p0y, by0, by1)
+    tmin = F.greatest(tx_lo, ty_lo, F.lit(0.0))
+    tmax = F.least(tx_hi, ty_hi, F.lit(1.0))
+    return tmin <= tmax
+
+
+def voronoi_weights(
+    points: DataFrame, cells_per_side: int = 1, clip: str | None = None
+) -> Graph:
+    """Voronoi-cell contiguity via Delaunay duality.
+
+    Reference: weights/contiguity.py:619-694 / cg/voronoi.py:309-506 build
+    Voronoi polygons (clipped by default) then rook contiguity. Duality:
+    cells of i and j share a boundary segment iff (i, j) is a Delaunay edge,
+    and that shared segment is the DUAL of the edge — the segment joining the
+    circumcenters of the two triangles on either side (a ray through the
+    primal edge's midpoint for hull edges).
+
+    - ``clip=None``: unclipped duality == the Delaunay graph.
+    - ``clip="extent"``: keep an edge only if some part of its dual segment
+      lies inside the bounding box of the input points — the clip-aware
+      filter matching the reference's default clipped cells, which drops
+      hull-adjacent adjacencies whose shared wall lives entirely outside the
+      extent. Rays are represented as long finite segments (4× the bbox
+      diagonal), exact for any bounded clip region.
+    """
+    if clip is None:
+        return delaunay(points, cells_per_side=cells_per_side)
+
+    tris = delaunay_triangles(points, cells_per_side).localCheckpoint()
+    b = points.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).first()
+    diag = ((b.x1 - b.x0) ** 2 + (b.y1 - b.y0) ** 2) ** 0.5 or 1.0
+    far = 4.0 * diag
+
+    # explode each triangle into its 3 edges, keeping the circumcenter and
+    # the OPPOSITE vertex (needed to orient the hull ray outward)
+    e3 = tris.select(
+        "ccx", "ccy",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("u"), F.col("b").alias("v"),
+                    F.col("ax").alias("ux"), F.col("ay").alias("uy"),
+                    F.col("bx").alias("vx"), F.col("by").alias("vy"),
+                    F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+                ),
+                F.struct(
+                    F.col("b").alias("u"), F.col("c").alias("v"),
+                    F.col("bx").alias("ux"), F.col("by").alias("uy"),
+                    F.col("cx").alias("vx"), F.col("cy").alias("vy"),
+                    F.col("ax").alias("ox"), F.col("ay").alias("oy"),
+                ),
+                F.struct(
+                    F.col("a").alias("u"), F.col("c").alias("v"),
+                    F.col("ax").alias("ux"), F.col("ay").alias("uy"),
+                    F.col("cx").alias("vx"), F.col("cy").alias("vy"),
+                    F.col("bx").alias("ox"), F.col("by").alias("oy"),
+                ),
+            )
+        ).alias("e"),
+    ).select("ccx", "ccy", "e.*")
+
+    grouped = e3.groupBy("u", "v").agg(
+        F.count("*").alias("__nt"),
+        F.collect_list(F.struct("ccx", "ccy", "ox", "oy")).alias("__cs"),
+        F.first("ux").alias("ux"), F.first("uy").alias("uy"),
+        F.first("vx").alias("vx"), F.first("vy").alias("vy"),
+    )
+    c1 = F.col("__cs")[0]
+    c2 = F.col("__cs")[1]
+    mx = (F.col("ux") + F.col("vx")) / 2.0
+    my = (F.col("uy") + F.col("vy")) / 2.0
+    # hull edge: dual ray from the circumcenter, perpendicular to (u, v),
+    # oriented away from the opposite vertex; finite stand-in of length `far`
+    px = F.col("vy") - F.col("uy")
+    py = F.col("ux") - F.col("vx")
+    plen = F.sqrt(px * px + py * py)
+    sign = F.when((px * (mx - c1["ox"]) + py * (my - c1["oy"])) >= 0, 1.0).otherwise(-1.0)
+    rayx = c1["ccx"] + sign * px / plen * F.lit(far)
+    rayy = c1["ccy"] + sign * py / plen * F.lit(far)
+    p1x = F.when(F.col("__nt") >= 2, c2["ccx"]).otherwise(rayx)
+    p1y = F.when(F.col("__nt") >= 2, c2["ccy"]).otherwise(rayy)
+    kept = grouped.filter(
+        _segment_hits_box(
+            c1["ccx"], c1["ccy"], p1x, p1y,
+            F.lit(float(b.x0)), F.lit(float(b.y0)), F.lit(float(b.x1)), F.lit(float(b.y1)),
+        )
+    ).select(F.col("u").alias("focal"), F.col("v").alias("neighbor"))
+    edges = (
+        kept.unionByName(
+            kept.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
+        )
         .withColumn("weight", F.lit(1.0))
     )
-    return Graph(resolve_isolates(edges, pts.select("id")))
-
-
-def voronoi_weights(points: DataFrame, cells_per_side: int = 1) -> Graph:
-    """Voronoi-cell contiguity == the Delaunay graph (unclipped duality).
-
-    Reference: weights/contiguity.py:619-694 builds Voronoi polygons then
-    rook contiguity; for points in general position with unclipped cells the
-    result is exactly the Delaunay graph (duality). The reference's clipping
-    (bbox/hull) can REMOVE long hull-adjacent edges; this variant documents
-    that deviation rather than emulating a geometry library we don't have.
-    """
-    return delaunay(points, cells_per_side=cells_per_side)
+    return Graph(resolve_isolates(edges, points.select("id")))

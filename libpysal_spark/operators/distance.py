@@ -379,6 +379,42 @@ def unique_site_cliques(points: DataFrame, k: int) -> Graph:
     return Graph(resolve_isolates(edges, points.select("id")))
 
 
+def jitter_points(points: DataFrame, magnitude: float, seed: int = 0) -> DataFrame:
+    """Deterministic seeded displacement of coincident-prone coordinates.
+
+    Reference: graph/_utils.py:65-95 ``_jitter_geoms`` (numpy RNG). The RNG is
+    replaced by a pure function of (seed, id) — md5-derived uniforms in
+    [-magnitude, magnitude] — so the jitter is reproducible across cluster
+    sizes, engines, and re-runs (north_rule invariance), and the DuckDB
+    oracle can replay it exactly.
+    """
+
+    def h(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:{tag}:"), F.col("id").cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+
+    m = F.lit(float(magnitude))
+    dx = (h("x") % 2000001 - 1000000) / F.lit(1000000.0) * m
+    dy = (h("y") % 2000001 - 1000000) / F.lit(1000000.0) * m
+    return points.select(
+        "id", (F.col("x") + dx).alias("x"), (F.col("y") + dy).alias("y")
+    )
+
+
+def knn_jitter(
+    points: DataFrame, k: int, magnitude: float, seed: int = 0, **kw
+) -> Graph:
+    """kNN under the 'jitter' coplanar policy (graph/_utils.py:97-126):
+    coincident sites are displaced (deterministically, see jitter_points)
+    before the kNN build, so ties never exceed k. Alternative to the
+    'clique' policy in unique_site_cliques."""
+    return knn(jitter_points(points, magnitude, seed), k, **kw)
+
+
 def attach_islands(g: Graph, points: DataFrame) -> Graph:
     """Connect each island to its nearest neighbor, symmetrically, weight 1.
 

@@ -1,0 +1,121 @@
+"""Spatial matching — driver-side exact small-n solver.
+
+Reference: graph/_matching.py:11-175 ``_spatial_matching`` / graph/base.py:
+1364-1425 ``build_matching``: minimize Σ d_ij·m_ij subject to every node
+having at least ``n_matches`` matched partners, m symmetric binary — a MIP
+the reference hands to pulp.
+
+A global LP/MIP is out of distributed scope (SURVEY §2.2): the constraint
+matrix couples every pair, so there is no shuffle-local decomposition. What
+ships instead is the promised DRIVER-SIDE fallback for the n_matches=1 case,
+which is the minimum-weight EDGE COVER problem and admits an exact
+polynomial/DP solution without an LP solver:
+
+    cover* = argmin Σ d(e)  s.t. every node incident to >= 1 chosen edge
+
+Classic reduction (public, e.g. Schrijver, Combinatorial Optimization §19):
+let c(i) = min_j d(i, j). Choosing matching M on reduced weights
+w'(i,j) = d(i,j) - c(i) - c(j) (only profitable when w' < 0) and giving every
+unmatched node its cheapest edge yields an optimal edge cover. The matching
+itself is found exactly by bitmask DP (O(2^n·n)), so the solver is capped at
+n <= 22 — the honest "small-n" scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libpysal_spark.graph import Graph, resolve_isolates
+
+MAX_N = 22
+
+
+def _min_weight_matching(w: np.ndarray) -> list[tuple[int, int]]:
+    """Exact min-weight (not necessarily perfect) matching, bitmask DP.
+
+    Only negative-weight pairings can improve the empty matching, so the DP
+    considers 'skip node' at cost 0.
+    """
+    n = w.shape[0]
+    NONE = -1
+    # iterate subsets in increasing order; f(S) = min cost on nodes in S
+    f = np.full(1 << n, np.inf)
+    back = np.full((1 << n, 2), NONE, dtype=np.int64)
+    f[0] = 0.0
+    for S in range(1, 1 << n):
+        i = (S & -S).bit_length() - 1  # lowest set bit
+        # skip i
+        rest = S & ~(1 << i)
+        if f[rest] < f[S]:
+            f[S] = f[rest]
+            back[S] = (i, NONE)
+        # pair i with j
+        for j in range(i + 1, n):
+            if not (S >> j) & 1:
+                continue
+            r2 = rest & ~(1 << j)
+            cand = f[r2] + w[i, j]
+            if cand < f[S]:
+                f[S] = cand
+                back[S] = (i, j)
+    # reconstruct
+    pairs = []
+    S = (1 << n) - 1
+    while S:
+        i, j = int(back[S][0]), int(back[S][1])
+        if j != NONE:
+            pairs.append((i, j))
+            S &= ~((1 << i) | (1 << j))
+        else:
+            S &= ~(1 << i)
+    return pairs
+
+
+def spatial_matching(points: DataFrame, n_matches: int = 1) -> Graph:
+    """Exact minimum-total-distance matching graph (driver-side, n <= 22).
+
+    ``n_matches=1`` (min-weight edge cover) is solved exactly; higher k is
+    the reference's pulp MIP and stays out of scope here.
+
+    Returns a Graph with the symmetric matched edges (weight 1.0).
+    """
+    if n_matches != 1:
+        raise NotImplementedError(
+            "distributed/LP spatial matching is out of scope; only the "
+            "driver-side exact n_matches=1 edge cover is provided"
+        )
+    rows = points.select("id", "x", "y").orderBy("id").collect()
+    n = len(rows)
+    if n > MAX_N:
+        raise ValueError(f"driver-side matching capped at n <= {MAX_N}, got {n}")
+    if n < 2:
+        raise ValueError("matching needs at least two points")
+    ids = [r.id for r in rows]
+    xy = np.array([[r.x, r.y] for r in rows], dtype=float)
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    cheapest = d.min(axis=1)
+    nearest = d.argmin(axis=1)
+    wred = d - cheapest[:, None] - cheapest[None, :]
+
+    matched = _min_weight_matching(wred)
+    covered = set()
+    edges = set()
+    for i, j in matched:
+        edges.add((min(i, j), max(i, j)))
+        covered.add(i)
+        covered.add(j)
+    for i in range(n):
+        if i not in covered:
+            j = int(nearest[i])
+            edges.add((min(i, j), max(i, j)))
+
+    spark = points.sparkSession
+    rows_out = []
+    for i, j in sorted(edges):
+        rows_out.append((ids[i], ids[j], 1.0))
+        rows_out.append((ids[j], ids[i], 1.0))
+    e = spark.createDataFrame(rows_out, "focal long, neighbor long, weight double")
+    return Graph(resolve_isolates(e, points.select("id")))

@@ -1,0 +1,131 @@
+"""Round-2 operators: nonplanar repair, jitter policy, alpha shapes,
+clipped Voronoi, driver-side spatial matching."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libpysal_spark.graph import Graph
+
+
+def _real(g: Graph) -> set:
+    return {
+        (r.focal, r.neighbor)
+        for r in g.edges.collect()
+        if not (r.focal == r.neighbor and r.weight == 0.0)
+    }
+
+
+@pytest.fixture(scope="module")
+def diamonds(spark):
+    # 3x3 lattice of disjoint diamonds (half-diagonal 0.4 at unit spacing)
+    pos = spark.range(9).select(
+        F.col("id"), (F.col("id") % 3).alias("gx"), (F.col("id") / 3).cast("long").alias("gy")
+    )
+    r = 0.4
+    ring = F.array(
+        F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+        F.struct((F.col("gx") + r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+        F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") + r).cast("double").alias("y")),
+        F.struct((F.col("gx") - r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+        F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+    )
+    return pos.select("id", ring.alias("vertices"))
+
+
+def test_nonplanar_neighbors_repairs_islands(spark, diamonds):
+    from libpysal_spark.operators.contiguity import fuzzy_contiguity, nonplanar_neighbors
+
+    g = fuzzy_contiguity(diamonds, 1.0)
+    assert g.islands().count() == 9  # all disjoint -> all islands
+    # extent = 2.8; distance 0.25 -> rook overlap only
+    repaired = nonplanar_neighbors(g, diamonds, tolerance=0.25 / 2.8)
+    got = _real(repaired)
+    want = set()
+    for i in range(9):
+        gx, gy = i % 3, i // 3
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = gx + dx, gy + dy
+            if 0 <= nx < 3 and 0 <= ny < 3:
+                want.add((i, ny * 3 + nx))
+    assert got == want
+    assert repaired.islands().count() == 0
+
+
+def test_jitter_is_deterministic_and_separates_sites(spark):
+    from libpysal_spark.operators.distance import jitter_points, knn_jitter, knn
+
+    # 20 points on only 4 distinct sites
+    pts = spark.range(20).select(
+        "id",
+        (F.col("id") % 4).cast("double").alias("x"),
+        (F.col("id") % 4).cast("double").alias("y"),
+    )
+    j1 = {(r.id, r.x, r.y) for r in jitter_points(pts, 0.25, seed=7).collect()}
+    j2 = {(r.id, r.x, r.y) for r in jitter_points(pts, 0.25, seed=7).collect()}
+    assert j1 == j2  # pure function of (seed, id)
+    assert len({(x, y) for _, x, y in j1}) == 20  # coincidences resolved
+    g = knn_jitter(pts, 2, magnitude=0.25, seed=7)
+    card = {r.id: r.cardinality for r in g.cardinalities().collect()}
+    assert all(v == 2 for v in card.values())
+
+
+def test_alpha_shape_triangle_filtration(spark):
+    from libpysal_spark.operators.delaunay import (
+        alpha_shape_edges, alpha_shape_triangles, delaunay_triangles,
+    )
+
+    # unit square + far outlier: the square's triangles have circumradius
+    # ~0.707; triangles touching the outlier are much bigger
+    rows = [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 1.0), (4, 10.0, 0.5)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    all_tris = delaunay_triangles(pts)
+    assert all_tris.count() >= 3
+    kept = alpha_shape_triangles(pts, alpha=1.0).collect()  # circumradius < 1
+    # only the square's two triangles survive (either cocircular diagonal)
+    assert len(kept) == 2 and all(abs(r.r2 - 0.5) < 1e-12 for r in kept)
+    assert all(4 not in (r.a, r.b, r.c) for r in kept)
+    boundary = {(r.focal, r.neighbor) for r in alpha_shape_edges(pts, alpha=1.0).collect()}
+    # boundary of the square = its 4 sides; the shared diagonal is interior
+    assert boundary == {(0, 1), (0, 2), (1, 3), (2, 3)}
+
+
+def test_voronoi_clipped_subset_and_interior_preserved(spark):
+    from libpysal_spark.operators.delaunay import voronoi_weights
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(40)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    unclipped = _real(voronoi_weights(pts))
+    clipped = _real(voronoi_weights(pts, clip="extent"))
+    assert clipped <= unclipped
+    assert len(clipped) > 0.5 * len(unclipped)  # interior adjacency survives
+
+
+def test_spatial_matching_small_n(spark):
+    from libpysal_spark.operators.matching import spatial_matching
+
+    # two tight pairs far apart -> optimal cover pairs them up
+    rows = [(0, 0.0, 0.0), (1, 0.1, 0.0), (2, 50.0, 0.0), (3, 50.1, 0.0)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    got = _real(spatial_matching(pts))
+    assert got == {(0, 1), (1, 0), (2, 3), (3, 2)}
+    # odd cluster: 3 points in a line -> edge cover shares the middle point
+    rows = [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 2.1, 0.0), (3, 80.0, 0.0), (4, 80.5, 0.0)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    got = _real(spatial_matching(pts))
+    assert (3, 4) in got and (0, 1) in got
+    assert (2, 1) in got  # 2 covered via its cheapest edge
+    with pytest.raises(NotImplementedError):
+        spatial_matching(pts, n_matches=2)
+
+
+def test_delaunay_triangles_match_edges(spark):
+    from libpysal_spark.operators.delaunay import delaunay, delaunay_triangles
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(30)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    tri_edges = set()
+    for r in delaunay_triangles(pts).collect():
+        for u, v in ((r.a, r.b), (r.b, r.c), (r.a, r.c)):
+            tri_edges.add((min(u, v), max(u, v)))
+    graph_edges = {(f, n) for f, n in _real(delaunay(pts)) if f < n}
+    assert tri_edges == graph_edges
