@@ -568,6 +568,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["arc_knn"] = _arc
 
+    # --- great-circle grid (cg/sphere.py:566 geogrid) ---
+    GEO_K = 20
+    GEO_UP = (-87.946389, 42.023768)
+    GEO_DOWN = (-87.524102, 41.644415)
+
+    def _geogrid(s, d):
+        from libpysal_spark.functions.sphere import geogrid
+
+        g = geogrid(s, GEO_UP, GEO_DOWN, GEO_K)
+        return g.select(
+            "row", "col",
+            portable_round("lon", 6).alias("lon"),
+            portable_round("lat", 6).alias("lat"),
+        ).orderBy("row", "col")
+
+    q["geogrid"] = _geogrid
+
     # --- graph analytics extras ---
     def _clust(s, d):
         g = distance_band(_points(s, d, "customer"), CUST_BAND_T)
@@ -1534,6 +1551,45 @@ e AS (
   ) WHERE rk <= 3
 )
 {_iso_sql()}"""
+
+    def _slerp_sql(p, lon0, lat0, lon1, lat1, t):
+        """CTE-stage text computing {p}lon/{p}lat = slerp; mirrors
+        sphere.geointerpolate_cols term for term."""
+        return f"""
+{p}s1 AS (SELECT *, radians({lat0}) AS {p}f0, radians({lon0}) AS {p}l0,
+                 radians({lat1}) AS {p}f1, radians({lon1}) AS {p}l1 FROM {p}src),
+{p}s2 AS (SELECT *, 2*asin(sqrt(sin(({p}f1-{p}f0)/2)*sin(({p}f1-{p}f0)/2)
+                 + cos({p}f0)*cos({p}f1)*sin(({p}l1-{p}l0)/2)*sin(({p}l1-{p}l0)/2))) AS {p}d FROM {p}s1),
+{p}s3 AS (SELECT *,
+    CASE WHEN sin({p}d) = 0 THEN 1.0 - {t} ELSE sin((1.0 - {t}) * {p}d) / sin({p}d) END AS {p}a,
+    CASE WHEN sin({p}d) = 0 THEN {t} ELSE sin({t} * {p}d) / sin({p}d) END AS {p}b FROM {p}s2),
+{p}s4 AS (SELECT *,
+    {p}a*cos({p}f0)*cos({p}l0) + {p}b*cos({p}f1)*cos({p}l1) AS {p}x,
+    {p}a*cos({p}f0)*sin({p}l0) + {p}b*cos({p}f1)*sin({p}l1) AS {p}y,
+    {p}a*sin({p}f0) + {p}b*sin({p}f1) AS {p}z FROM {p}s3),
+{p}out AS (SELECT *, degrees(atan2({p}y, {p}x)) AS {p}lon,
+    degrees(atan2({p}z, sqrt({p}x*{p}x + {p}y*{p}y))) AS {p}lat FROM {p}s4)"""
+
+    _gk = 20
+    _lu, _au = -87.946389, 42.023768
+    _ld, _ad = -87.524102, 41.644415
+    o["geogrid"] = f"""
+WITH g AS (
+  SELECT r.r AS row, c.c AS col,
+         r.r / {float(_gk)} AS ti, c.c / {float(_gk)} AS tj
+  FROM (SELECT unnest(generate_series(0, {_gk})) AS r) r,
+       (SELECT unnest(generate_series(0, {_gk})) AS c) c
+),
+Lsrc AS (SELECT * FROM g),
+{_slerp_sql('L', _lu, _au, _lu, _ad, 'ti')},
+Rsrc AS (SELECT * FROM Lout),
+{_slerp_sql('R', _ld, _au, _ld, _ad, 'ti')},
+Msrc AS (SELECT * FROM Rout),
+{_slerp_sql('M', 'Llon', 'Llat', 'Rlon', 'Rlat', 'tj')}
+SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+       CAST(round((CASE WHEN col = 0 THEN Llon WHEN col = {_gk} THEN Rlon ELSE Mlon END) + 1e-9, 6) AS DOUBLE) AS lon,
+       CAST(round((CASE WHEN col = 0 THEN Llat WHEN col = {_gk} THEN Rlat ELSE Mlat END) + 1e-9, 6) AS DOUBLE) AS lat
+FROM Mout ORDER BY row, col"""
 
     _band_cust = f"""
 pts AS ({_pts_sql('customer')}),

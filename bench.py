@@ -100,6 +100,7 @@ def suite(spark, sf_dir):
         "transform_r_lag": _lag,
         "pip_join": _pip,
         "gabriel_grid": lambda: gabriel(supplier(), candidate_radius=200.0).edges,
+        "gabriel_delaunay": lambda: gabriel(supplier()).edges,
         "delaunay_build": _delaunay,
         "connected_components": _components,
         "minhash_lsh_pairs": lambda: D.minhash_candidates(docs()),

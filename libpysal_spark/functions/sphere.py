@@ -72,6 +72,73 @@ def lonlat_points_planar(df: DataFrame, lon: str = "lon", lat: str = "lat") -> D
     return df.select("id", F.col(lon).alias("x"), F.col(lat).alias("y"))
 
 
+def geointerpolate_cols(
+    lon0: Column, lat0: Column, lon1: Column, lat1: Column, t: Column
+) -> tuple[Column, Column]:
+    """Great-circle waypoint (slerp) as native column expressions.
+
+    Reference: cg/sphere.py:502-563 ``geointerpolate`` — the point a fraction
+    ``t`` of the way along the great circle from p0 to p1. Returns
+    (lon, lat) in decimal degrees.
+    """
+    f0, l0 = F.radians(lat0), F.radians(lon0)
+    f1, l1 = F.radians(lat1), F.radians(lon1)
+    sdf = F.sin((f1 - f0) / 2)
+    sdl = F.sin((l1 - l0) / 2)
+    d = 2 * F.asin(F.sqrt(sdf * sdf + F.cos(f0) * F.cos(f1) * sdl * sdl))
+    sind = F.sin(d)
+    a = F.when(sind == 0.0, 1.0 - t).otherwise(F.sin((1.0 - t) * d) / sind)
+    b = F.when(sind == 0.0, t).otherwise(F.sin(t * d) / sind)
+    x = a * F.cos(f0) * F.cos(l0) + b * F.cos(f1) * F.cos(l1)
+    y = a * F.cos(f0) * F.sin(l0) + b * F.cos(f1) * F.sin(l1)
+    z = a * F.sin(f0) + b * F.sin(f1)
+    lat = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
+    lon = F.degrees(F.atan2(y, x))
+    return lon, lat
+
+
+def geogrid(spark, pup, pdown, k: int, lonx: bool = True) -> DataFrame:
+    """(k+1)×(k+1) great-circle grid over a lon/lat bounding box.
+
+    Reference: cg/sphere.py:566-640 ``geogrid`` (row-major from the top row).
+    Distributed form: one range cross-join carrying (row, col) and the two
+    nested slerps as column expressions — no driver loop, so a 10^4-cell
+    geogrid costs one codegen stage. ``pup``/``pdown`` are (lon, lat) when
+    ``lonx`` else (lat, lon). Returns (row, col, lon, lat).
+    """
+    if not lonx:
+        pup, pdown = (pup[1], pup[0]), (pdown[1], pdown[0])
+    lon_u, lat_u = float(pup[0]), float(pup[1])
+    lon_d, lat_d = float(pdown[0]), float(pdown[1])
+    rows = spark.range(k + 1).select(F.col("id").alias("row"))
+    cols = spark.range(k + 1).select(F.col("id").alias("col"))
+    g = rows.crossJoin(cols)
+    ti = F.col("row").cast("double") / F.lit(float(k))
+    tj = F.col("col").cast("double") / F.lit(float(k))
+    # vertical edges: pup -> (lon_u, lat_d) on the left, (lon_d, lat_u) ->
+    # pdown on the right; then interpolate across each row
+    llon, llat = geointerpolate_cols(
+        F.lit(lon_u), F.lit(lat_u), F.lit(lon_u), F.lit(lat_d), ti
+    )
+    rlon, rlat = geointerpolate_cols(
+        F.lit(lon_d), F.lit(lat_u), F.lit(lon_d), F.lit(lat_d), ti
+    )
+    g = g.withColumn("__llon", llon).withColumn("__llat", llat)
+    g = g.withColumn("__rlon", rlon).withColumn("__rlat", rlat)
+    lon, lat = geointerpolate_cols(
+        F.col("__llon"), F.col("__llat"), F.col("__rlon"), F.col("__rlat"), tj
+    )
+    # endpoints pinned exactly as the reference does (corners are not
+    # re-interpolated)
+    lon = F.when(F.col("col") == 0, F.col("__llon")).when(
+        F.col("col") == k, F.col("__rlon")
+    ).otherwise(lon)
+    lat = F.when(F.col("col") == 0, F.col("__llat")).when(
+        F.col("col") == k, F.col("__rlat")
+    ).otherwise(lat)
+    return g.select("row", "col", lon.alias("lon"), lat.alias("lat"))
+
+
 def _chord(ax="ax", ay="ay", az="az", bx="bx", by="by", bz="bz") -> Column:
     dx = F.col(ax) - F.col(bx)
     dy = F.col(ay) - F.col(by)

@@ -430,26 +430,43 @@ class Graph:
         return Graph(e, self.transformation)
 
     # -- analytics (reference: graph/_spatial_lag.py, graph/base.py) -----
-    def lag(self, y: DataFrame, value_col: str = "y", deterministic: bool = False) -> DataFrame:
+    def lag(
+        self,
+        y: DataFrame,
+        value_col: str | list[str] = "y",
+        deterministic: bool = False,
+    ) -> DataFrame:
         """Spatial lag Wy as a join-aggregate SpMV.
 
-        ``y``: DataFrame (id, value_col). Returns (id, lag).
-        Reference: weights/spatial_lag.py:16-88, graph/_spatial_lag.py:5-96.
+        ``y``: DataFrame (id, value column(s)). A single column name returns
+        (id, lag); a LIST of names returns (id, lag_<col>...) — the
+        reference's 2-D ``y`` (weights/spatial_lag.py:16-88 dot-products each
+        column; graph/_spatial_lag.py:5-96). All columns lag in ONE join +
+        aggregate, not one pass per column.
 
         ``deterministic=True`` uses the sorted-fold sum (functions.detagg) so
         the result is bit-identical across cluster sizes / engines.
         """
-        yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__y"))
+        multi = not isinstance(value_col, str)
+        cols = list(value_col) if multi else [value_col]
+        yn = y.select(
+            F.col("id").alias("neighbor"),
+            *[F.col(c).alias(f"__y_{c}") for c in cols],
+        )
         if deterministic:
             from libpysal_spark.functions.detagg import det_sum
 
-            agg = det_sum(F.col("weight") * F.col("__y")).alias("lag")
+            mk = det_sum
         else:
-            agg = F.sum(F.col("weight") * F.col("__y")).alias("lag")
+            mk = F.sum
+        aggs = [
+            mk(F.col("weight") * F.col(f"__y_{c}")).alias(f"lag_{c}" if multi else "lag")
+            for c in cols
+        ]
         return (
             self.edges.join(yn, "neighbor")
             .groupBy(F.col("focal").alias("id"))
-            .agg(agg)
+            .agg(*aggs)
         )
 
     def lag_categorical(self, y: DataFrame, value_col: str = "y", ties: str = "lowest") -> DataFrame:

@@ -16,6 +16,7 @@ Node id = the reference's flattened index ``band * (nrows*ncols) + row*ncols
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,3 +70,29 @@ def raster_contiguity(
         .withColumn("weight", F.lit(1.0))
     )
     return Graph(resolve_isolates(edges, live.select("id")))
+
+
+def generate_array(
+    values: DataFrame,
+    nrows: int,
+    ncols: int,
+    nbands: int = 1,
+    value_col: str = "value",
+    nodata: float = float("nan"),
+) -> np.ndarray:
+    """Dense (band, row, col) export of flat-indexed values — driver side.
+
+    Reference: graph/base.py:2991-3006 ``generate_da`` (xarray DataArray
+    rebuild from the flattened MultiIndex). No xarray in this environment, so
+    the export is a plain numpy array; missing (nodata) cells are filled with
+    ``nodata``. ``values``: (id, value) with id = band*(nrows*ncols) +
+    row*ncols + col — the same flattening as raster_contiguity. Driver-side
+    by definition (a dense raster must fit wherever it is consumed).
+    """
+    out = np.full((nbands, nrows, ncols), nodata, dtype=float)
+    plane = nrows * ncols
+    for r in values.select("id", value_col).collect():
+        b, rest = divmod(int(r["id"]), plane)
+        rr, cc = divmod(rest, ncols)
+        out[b, rr, cc] = float(r[value_col])
+    return out[0] if nbands == 1 else out

@@ -118,6 +118,56 @@ def test_spatial_matching_small_n(spark):
         spatial_matching(pts, n_matches=2)
 
 
+def test_geointerpolate_and_geogrid_goldens(spark):
+    """Reference doctest values (cg/sphere.py:502-640, public doctests)."""
+    from libpysal_spark.functions.sphere import geogrid, geointerpolate_cols
+
+    df = spark.createDataFrame(
+        [(-87.893517, 41.981417, -87.519295, 41.657498, 0.1)],
+        "lon0 double, lat0 double, lon1 double, lat1 double, t double",
+    )
+    lon, lat = geointerpolate_cols(
+        F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"), F.col("t")
+    )
+    r = df.select(lon.alias("lon"), lat.alias("lat")).first()
+    assert abs(r.lon - -87.85592403438788) < 1e-9
+    assert abs(r.lat - 41.949079912574796) < 1e-9
+
+    # geogrid doctest: pup/pdown given lat-lon with lonx=False
+    g = geogrid(spark, (42.023768, -87.946389), (41.644415, -87.524102), 3, lonx=False)
+    got = {(r.row, r.col): (r.lat, r.lon) for r in g.collect()}
+    assert len(got) == 16
+    assert abs(got[(0, 0)][0] - 42.023768) < 1e-9
+    assert abs(got[(0, 1)][0] - 42.02393997819538) < 1e-9
+    assert abs(got[(0, 1)][1] - -87.80562679358316) < 1e-9
+    assert abs(got[(2, 2)][0] - 41.77103781320412) < 1e-9
+    assert abs(got[(2, 2)][1] - -87.66486420765956) < 1e-9
+    assert abs(got[(3, 3)][0] - 41.644415) < 1e-9
+
+
+def test_lag_multicolumn(spark):
+    g = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
+    y = spark.createDataFrame(
+        [(0, 1.0, 10.0), (1, 2.0, 20.0), (2, 3.0, 30.0)], "id long, a double, b double"
+    )
+    out = {r.id: (r.lag_a, r.lag_b) for r in g.lag(y, ["a", "b"]).collect()}
+    assert out[0] == (5.0, 50.0) and out[1] == (1.0, 10.0)
+
+
+def test_generate_array_roundtrip(spark):
+    from libpysal_spark.operators.raster import generate_array
+
+    vals = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (3, 4.0)], "id long, value double"
+    )
+    arr = generate_array(vals, 2, 2)
+    assert arr.shape == (2, 2)
+    assert arr[0][0] == 1.0 and arr[0][1] == 2.0 and arr[1][1] == 4.0
+    import numpy as np
+
+    assert np.isnan(arr[1][0])
+
+
 def test_delaunay_triangles_match_edges(spark):
     from libpysal_spark.operators.delaunay import delaunay, delaunay_triangles
 
