@@ -503,6 +503,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = _ann
 
+    def _ann_ivf(s, d):
+        from libpysal_spark.text.ann import ivf_topk
+
+        emb = _emb(s, d)
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+        ).orderBy("query_id", "rank")
+
+    q["ann_ivf_topk"] = _ann_ivf
+
     # --- raster contiguity (SURVEY §2.2 raster) ---
     def _raster(s, d):
         ev = s.read.parquet(f"{d}/events.parquet").filter(
@@ -1424,6 +1434,54 @@ scored AS (
           i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')))
     , 6) AS cosine
   FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    def _cos_sql(av: str, bv: str) -> str:
+        return f"""round(
+      list_aggregate(list_transform(generate_series(1, len({av})),
+          i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, len({av})),
+          i -> CAST({av}[i] AS DOUBLE) * CAST({av}[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, len({bv})),
+          i -> CAST({bv}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)), 'sum')))
+    , 6)"""
+
+    o["ann_ivf_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS ct FROM v ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT v.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.embedding', 'cent.ct')} DESC, cent.cid ASC) AS rk
+    FROM v CROSS JOIN cent
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.embedding', 'cent.ct')} DESC, cent.cid ASC) AS rk
+    FROM v CROSS JOIN cent WHERE v.vec_id < 10
+  ) WHERE rk <= 4
+),
+cand AS (
+  SELECT DISTINCT probes.query_id, assign.neighbor_id
+  FROM probes JOIN assign ON probes.cid = assign.cid
+  WHERE probes.query_id <> assign.neighbor_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank
 FROM (

@@ -190,15 +190,27 @@ def knn_table(
             F.col("y").alias("y_f"),
             F.col("cell_probe"),
         )
+        wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
+        guarantee = float(r) * float(cell_size)
+        # pre-filter to the guarantee radius BEFORE the window: a focal only
+        # resolves when its kth neighbor is within r·s, and for such foci the
+        # top-k among dist<=r·s IS the global top-k — so candidates beyond the
+        # guarantee can't change any resolved answer and only inflate the
+        # window sort (the ring box covers ~3x the area of the circle).
         cand = (
             probes.join(right, probes.cell_probe == right.cell_r)
             .filter(F.col("focal") != F.col("neighbor"))
             .withColumn("dist", _dist())
+            .filter(F.col("dist") <= F.lit(guarantee))
         )
-        wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
-        guarantee = float(r) * float(cell_size)
         # rank, truncate to k, and decide resolution in ONE pass: a focal is
         # resolved iff its kth candidate exists and is within the guarantee.
+        # ONE eager localCheckpoint per round materializes the ranked
+        # candidates; every downstream consumer (resolved rows, the anti-join,
+        # the final union) reads the checkpointed blocks, which are
+        # GC-reclaimed when the plan is dropped — no session-lifetime cache
+        # pinning. On a real cluster this becomes a reliable checkpoint (and
+        # the resume point).
         topk = (
             cand.withColumn("__rk", F.row_number().over(wnd))
             .filter(F.col("__rk") <= k)
@@ -208,19 +220,13 @@ def knn_table(
                     Window.partitionBy("focal")
                 ) <= guarantee),
             )
-        ).persist()
-        # eager localCheckpoints cut the lineage so topk's cache can be
-        # RELEASED at the end of the round (persist without unpersist would
-        # pin every round's candidates for the whole session — a leak flagged
-        # in long multi-query batteries). On a real cluster these become
-        # reliable checkpoints (also the resume points).
+        ).localCheckpoint()
         resolved_parts.append(
-            topk.filter(F.col("__ok")).select("focal", "neighbor", "dist").localCheckpoint()
+            topk.filter(F.col("__ok")).select("focal", "neighbor", "dist")
         )
         ok_ids = topk.filter(F.col("__ok")).select(F.col("focal").alias("id")).distinct()
-        unresolved = unresolved.join(ok_ids, "id", "left_anti").localCheckpoint()
+        unresolved = unresolved.join(ok_ids, "id", "left_anti")
         n_unresolved = unresolved.count()
-        topk.unpersist()
         r *= 2
     all_pts.unpersist()
 

@@ -61,6 +61,22 @@ def write_tiled(tiled: DataFrame, output_dir: str, checkpoint_dir: str):
     )
 
 
+def dedup_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first page per content hash.
+
+    The streaming face of text/dedup.exact_duplicates — state is the set of
+    hashes seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``), so state size is bounded by the
+    dedup window instead of the whole corpus; cross-window dups are the batch
+    job's responsibility (the standard lambda split for trillion-row dedup).
+    """
+    return (
+        pages.withColumn("content_hash", F.md5(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def tile_rollup_stream(
     tiled: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -104,6 +104,72 @@ def srp_buckets(
     return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    The 100-TB shape: coarse-quantize the corpus once into per-centroid
+    inverted lists (equi-joinable by centroid id), then each query probes only
+    its ``n_probe`` nearest lists — the scan per query drops from |corpus| to
+    ~|corpus|·n_probe/n_centroids, and the only joins are broadcast (the
+    centroid table) and an equi-join on the centroid id (shuffle-partitioned,
+    skew-safe when centroids are balanced).
+
+    ``centroids`` defaults to the ``n_centroids`` lowest-id corpus vectors —
+    a deterministic coarse quantizer that keeps the operator reproducible and
+    SQL-oracle-checkable; production would plug a sampled k-means here (the
+    list/probe machinery — the distributed part — is identical).
+    """
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__ct"))
+    )
+
+    def nearest(df: DataFrame, role: str, n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(role), F.col(vec_col).alias("__v"))
+            .crossJoin(cent)
+            .withColumn("__sim", F.round(_cosine("__v", "__ct"), 6))
+        )
+        w = Window.partitionBy(role).orderBy(F.col("__sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .select(role, "cid")
+        )
+
+    lists = nearest(corpus, "neighbor_id", 1)  # each corpus vector in ONE list
+    probes = nearest(queries, "query_id", n_probe)
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = cand.join(q, "query_id").join(c, "neighbor_id").withColumn(
+        "cosine", F.round(_cosine("__qv", "__cv"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from libpysal_spark.pages import pages
 from libpysal_spark.streaming.ingest import (
-    read_pages_stream, tile_rollup_stream, tiled_pages_stream, write_tiled,
+    dedup_stream, read_pages_stream, tile_rollup_stream, tiled_pages_stream,
+    write_tiled,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -57,6 +58,34 @@ def test_stream_resume_is_incremental(spark, drops_dir, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 500
+
+
+def test_dedup_stream_drops_repeats(spark, drops_dir, tmp_path):
+    """Planted duplicate texts across drops: only the first survives."""
+    dup_dir = str(tmp_path / "dupdrops")
+    src = spark.read.parquet(drops_dir)
+    src.write.parquet(dup_dir)
+    # re-drop the first 50 docs with new ids (same text -> same hash)
+    src.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    ).write.mode("append").parquet(dup_dir)
+
+    # dup ids shift warc_ts by ~2.8h; keep them inside the dedup horizon
+    stream = dedup_stream(read_pages_stream(spark, dup_dir), watermark="12 hours")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckptd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select content_hash from dedup")
+    assert out.count() == out.select("content_hash").distinct().count()
+    # every distinct text in the source appears exactly once
+    n_distinct = src.select(F.md5("text")).distinct().count()
+    assert out.count() == n_distinct
 
 
 def test_tile_rollup_counts(spark, drops_dir, tmp_path):
