@@ -98,6 +98,37 @@ def test_dense_id_mapping_has_no_global_sort_window(spark):
     _no_unpartitioned_window(plan)
 
 
+def test_ivf_plan_has_no_unbroadcast_cartesian(spark):
+    """IVF's only cross join is against the broadcast centroid table; the
+    corpus must never hit a CartesianProduct."""
+    from libpysal_spark.text.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _formatted(ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nonplanar_plan_broadcasts_islands(spark):
+    from libpysal_spark.operators.contiguity import fuzzy_contiguity, nonplanar_neighbors
+
+    pos = spark.range(9).select(
+        F.col("id"), (F.col("id") % 3).alias("gx"), (F.col("id") / 3).cast("long").alias("gy")
+    )
+    r = 0.4
+    ring = F.array(
+        F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+        F.struct((F.col("gx") + r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+        F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") + r).cast("double").alias("y")),
+        F.struct((F.col("gx") - r).cast("double").alias("x"), F.col("gy").cast("double").alias("y")),
+        F.struct(F.col("gx").cast("double").alias("x"), (F.col("gy") - r).cast("double").alias("y")),
+    )
+    polys = pos.select("id", ring.alias("vertices"))
+    g = fuzzy_contiguity(polys, 1.0)
+    plan = _formatted(nonplanar_neighbors(g, polys, tolerance=0.25 / 2.8).edges)
+    assert "CartesianProduct" not in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _formatted(docs.filter(F.col("doc_id") < 100).select("doc_id", "lang"))
