@@ -425,6 +425,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pip_join"] = _pip2
 
+    # --- dissolve / overlay (SURVEY §2.6 spatial_join/overlay/dissolve) ---
+    def _dissolve(s, d):
+        from libpysal_spark.operators.overlay import dissolve_stats
+
+        pos, _ = _lattice_positions(s, d)
+        polys = lattice_polygons(s, pos)
+        labels = pos.select(
+            "id", (F.floor(F.col("gx") / 2) * 1000 + F.floor(F.col("gy") / 2)).alias("label")
+        )
+        out = dissolve_stats(polys, labels)
+        return out.select(
+            "label",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.round("perimeter", 6).alias("perimeter"),
+        ).orderBy("label")
+
+    q["dissolve"] = _dissolve
+
+    def _overlay(s, d):
+        from libpysal_spark.operators.overlay import overlay
+
+        pos, _ = _lattice_positions(s, d)
+        a = lattice_polygons(s, pos)
+        # B layer: unit squares shifted by (+0.5, +0.5) — each intersects up
+        # to 4 A squares with area 0.25
+        gx = F.col("gx").cast("double") + 0.5
+        gy = F.col("gy").cast("double") + 0.5
+
+        def pt(xe, ye):
+            return F.struct(xe.alias("x"), ye.alias("y"))
+
+        ring = F.array(
+            pt(gx, gy), pt(gx + 1, gy), pt(gx + 1, gy + 1), pt(gx, gy + 1), pt(gx, gy)
+        )
+        b = pos.select("id", ring.alias("vertices"))
+        out = overlay(a, b, cell_size=2.0)
+        return out.select(
+            "a_id", "b_id", F.round("area", 9).alias("area")
+        ).orderBy("a_id", "b_id")
+
+    q["overlay"] = _overlay
+
     # --- corpus / pages (input_hint invariant) ---
     def _pages(s, d):
         p = pages(s, d)
@@ -1304,6 +1346,40 @@ FROM pts JOIN sq
 ORDER BY point_id, polygon_id"""
     # half-open box semantics match even-odd ray casting toward +x: for an
     # axis-aligned ring, x == x0 / y == y0 are inside, x == x1 / y == y1 out.
+
+    # dissolved 2x2 blocks over the ragged lattice: perimeter of a union of
+    # unit cells = 4*n_cells - 2*(interior walls)
+    o["dissolve"] = f"""
+WITH {_lattice_cte()},
+lab AS (SELECT id, gx, gy, (gx // 2) * 1000 + (gy // 2) AS label FROM xy),
+walls AS (
+  SELECT a.label, count(*) AS w
+  FROM lab a JOIN lab b
+    ON a.label = b.label AND a.id < b.id
+   AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+  GROUP BY a.label
+),
+parts AS (SELECT label, count(*) AS n FROM lab GROUP BY label)
+SELECT parts.label,
+       CAST(parts.n AS BIGINT) AS n_parts,
+       CAST(round(4.0 * parts.n - 2.0 * coalesce(walls.w, 0), 6) AS DOUBLE) AS perimeter
+FROM parts LEFT JOIN walls ON parts.label = walls.label
+ORDER BY parts.label"""
+
+    # axis-aligned rectangle intersection in closed form
+    o["overlay"] = f"""
+WITH {_lattice_cte()},
+a AS (SELECT id, CAST(gx AS DOUBLE) AS x0, CAST(gy AS DOUBLE) AS y0 FROM xy),
+b AS (SELECT id, gx + 0.5 AS x0, gy + 0.5 AS y0 FROM xy),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         greatest(0.0, least(a.x0 + 1, b.x0 + 1) - greatest(a.x0, b.x0))
+       * greatest(0.0, least(a.y0 + 1, b.y0 + 1) - greatest(a.y0, b.y0)) AS area
+  FROM a JOIN b
+    ON abs(a.x0 - b.x0) < 1 AND abs(a.y0 - b.y0) < 1
+)
+SELECT a_id, b_id, CAST(round(area, 9) AS DOUBLE) AS area
+FROM inter WHERE area > 0 ORDER BY a_id, b_id"""
 
     # --- text / dedup ---
     o["dedup_exact"] = """

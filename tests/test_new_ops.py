@@ -145,6 +145,39 @@ def test_geointerpolate_and_geogrid_goldens(spark):
     assert abs(got[(3, 3)][0] - 41.644415) < 1e-9
 
 
+def test_dissolve_boundary_cancels_interior_walls(spark):
+    from libpysal_spark.operators.lattice import lattice_polygons
+    from libpysal_spark.operators.overlay import dissolve_stats
+
+    pos = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).alias("gx"), (F.col("id") / 2).cast("long").alias("gy")
+    )
+    polys = lattice_polygons(spark, pos)
+    labels = pos.select("id", F.lit(0).alias("label"))
+    out = dissolve_stats(polys, labels).first()
+    # 2x2 block of unit squares -> one 2x2 square, perimeter 8
+    assert out.n_parts == 4 and abs(out.perimeter - 8.0) < 1e-12
+
+
+def test_overlay_rectangle_areas(spark):
+    from libpysal_spark.operators.overlay import overlay
+
+    def rect(id_, x0, y0, w, h):
+        return (id_, [
+            {"x": x0, "y": y0}, {"x": x0 + w, "y": y0},
+            {"x": x0 + w, "y": y0 + h}, {"x": x0, "y": y0 + h},
+            {"x": x0, "y": y0},
+        ])
+
+    schema = "id long, vertices array<struct<x double, y double>>"
+    a = spark.createDataFrame([rect(0, 0.0, 0.0, 2.0, 2.0)], schema)
+    b = spark.createDataFrame(
+        [rect(10, 1.0, 1.0, 2.0, 2.0), rect(11, 5.0, 5.0, 1.0, 1.0)], schema
+    )
+    got = {(r.a_id, r.b_id): r.area for r in overlay(a, b, cell_size=2.0).collect()}
+    assert got == {(0, 10): 1.0}  # unit overlap square; disjoint rect absent
+
+
 def test_lag_multicolumn(spark):
     g = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
     y = spark.createDataFrame(
