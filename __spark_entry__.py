@@ -515,6 +515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         portable_round("quality", 6).alias("quality"),
     ).orderBy("doc_id")
     q["fingerprint"] = lambda s, d: Q.fingerprint(_docs(s, d)).orderBy("doc_id")
+    q["token_stats_bpe"] = lambda s, d: Q.token_stats_bpe(_docs(s, d)).select(
+        "doc_id", "ws_tokens", "bpe_tokens",
+        portable_round("bytes_per_token", 6).alias("bytes_per_token"),
+    ).orderBy("doc_id")
+    q["winnow_fingerprints"] = lambda s, d: D.winnow_fingerprints(
+        _docs(s, d).filter(F.col("doc_id") < 200)
+    ).orderBy("doc_id", "fp")
 
     # --- multimodal metadata (text/multimodal.py media_metadata) ---
     def _media_metadata(s, d):
@@ -1495,6 +1502,33 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(
            regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
 FROM documents ORDER BY doc_id"""
+
+    o["token_stats_bpe"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{Q.BPE_ISH}')) AS BIGINT) AS bpe_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       CAST({portable_round_sql('n_chars / CAST(greatest(bpe_tokens, 1) AS DOUBLE)', 6)} AS DOUBLE) AS bytes_per_token
+FROM t ORDER BY doc_id"""
+
+    o["winnow_fingerprints"] = """
+WITH g AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(substr(text, pos, 8)), 1, 15))::BIGINT AS h
+  FROM documents,
+       LATERAL unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(pos)
+  WHERE doc_id < 200
+),
+w AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp"""
 
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -169,6 +169,41 @@ def ngram_jaccard(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003).
+
+    Char k-gram rolling hashes; each window of ``w`` consecutive k-grams
+    contributes its MINIMUM hash; the distinct minima are the document's
+    fingerprint set — robust to local edits, the standard
+    near-duplicate/plagiarism sketch. Shape: explode positions (scan-linear
+    in corpus bytes), one per-doc window (hash-partitioned by doc), distinct.
+    Returns (doc_id, fp).
+    """
+    from pyspark.sql import Window
+
+    npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+    ).select(
+        "doc_id", "pos",
+        portable_hash(F.substring(F.col("__t"), F.col("pos"), k)).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

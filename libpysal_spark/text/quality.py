@@ -61,6 +61,27 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_stats_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, bytes_per_token).
+
+    The BPE-ish count splits alpha runs / single digits / punctuation like a
+    byte-pair-encoded vocabulary's pre-tokenizer (GPT-2-style regex class
+    structure, public) — the standard budget estimator for LLM training-data
+    pipelines; a pure regexp projection, scan-shaped.
+    """
+    ws = tokens(text_col)
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.length(text_col) / F.greatest(bpe, F.lit(1))).alias("bytes_per_token"),
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, punct_ratio, uniq_ratio, quality).
 
