@@ -345,6 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lag_categorical"] = _lag_cat
 
+    def _lag_cat_tryself(s, d):
+        g = distance_band(_points(s, d, "orders"), BAND_T)
+        y = s.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("y")
+        )
+        return g.lag_categorical(y, ties="tryself").orderBy("id")
+
+    q["lag_categorical_tryself"] = _lag_cat_tryself
+
     def _describe(s, d):
         g = distance_band(_points(s, d, "orders"), BAND_T)
         y = s.read.parquet(f"{d}/orders.parquet").select(
@@ -1184,6 +1193,35 @@ counts AS (
 SELECT focal AS id, cat AS lag FROM (
   SELECT focal, cat, row_number() OVER (PARTITION BY focal ORDER BY cnt DESC, cat ASC) AS rk
   FROM counts
+) WHERE rk = 1 ORDER BY id"""
+
+    o["lag_categorical_tryself"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+counts AS (
+  SELECT e.focal, y.o_orderpriority AS cat, CAST(count(*) AS DOUBLE) AS cnt
+  FROM e JOIN orders y ON e.neighbor = y.o_orderkey
+  GROUP BY 1, 2
+),
+withmax AS (
+  SELECT focal, cat, cnt, max(cnt) OVER (PARTITION BY focal) AS mx FROM counts
+),
+tallied AS (
+  SELECT focal, cat, cnt, mx,
+         sum(CASE WHEN cnt = mx THEN 1 ELSE 0 END) OVER (PARTITION BY focal) AS ntied
+  FROM withmax
+),
+meanw AS (SELECT focal, avg(1.0) AS mw FROM e GROUP BY focal),
+adj AS (
+  SELECT t.focal, t.cat,
+         t.cnt + CASE WHEN t.ntied > 1 AND t.cat = sc.o_orderpriority
+                      THEN m.mw ELSE 0.0 END AS cnt
+  FROM tallied t
+  JOIN orders sc ON sc.o_orderkey = t.focal
+  JOIN meanw m ON m.focal = t.focal
+)
+SELECT focal AS id, cat AS lag FROM (
+  SELECT focal, cat, row_number() OVER (PARTITION BY focal ORDER BY cnt DESC, cat ASC) AS rk
+  FROM adj
 ) WHERE rk = 1 ORDER BY id"""
 
     _dsum = det_sum_sql("y.o_totalprice")

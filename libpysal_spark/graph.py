@@ -472,18 +472,47 @@ class Graph:
     def lag_categorical(self, y: DataFrame, value_col: str = "y", ties: str = "lowest") -> DataFrame:
         """Modal neighbor category weighted by w (weights/spatial_lag.py:91-240).
 
-        Tie policies: 'lowest' / 'highest' (deterministic — the reference's
-        'random' policy is nondeterministic by design; we pin deterministic
-        variants for cluster-size invariance).
+        Tie policies: 'lowest' / 'highest' / 'tryself'. 'tryself' mirrors
+        the reference default (_resolve_ties, spatial_lag.py:243-310): when
+        the max tally is tied, the focal's OWN category gets a bonus equal to
+        the mean neighbor weight, then the winner is re-picked — with the
+        residual tie resolved to the LOWEST label instead of the reference's
+        RNG (determinism pin: cluster-size-invariant output is a north_rule
+        requirement, so the 'random' policy is deliberately not offered).
         """
         yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__cat"))
+        e = _real_edges(self.edges)
         counts = (
-            _real_edges(self.edges)
-            .join(yn, "neighbor")
+            e.join(yn, "neighbor")
             .groupBy("focal", "__cat")
             .agg(F.sum("weight").alias("__cnt"))
         )
-        order = [F.col("__cnt").desc(), F.col("__cat").asc() if ties == "lowest" else F.col("__cat").desc()]
+        if ties == "tryself":
+            wf = Window.partitionBy("focal")
+            counts = counts.withColumn("__mx", F.max("__cnt").over(wf)).withColumn(
+                "__ntied",
+                F.sum(F.when(F.col("__cnt") == F.col("__mx"), 1).otherwise(0)).over(wf),
+            )
+            selfcat = y.select(F.col("id").alias("focal"), F.col(value_col).alias("__self"))
+            meanw = e.groupBy("focal").agg(F.avg("weight").alias("__mw"))
+            counts = (
+                counts.join(selfcat, "focal", "left")
+                .join(meanw, "focal", "left")
+                .withColumn(
+                    "__cnt",
+                    F.col("__cnt")
+                    + F.when(
+                        (F.col("__ntied") > 1) & (F.col("__cat") == F.col("__self")),
+                        F.col("__mw"),
+                    ).otherwise(0.0),
+                )
+            )
+            order = [F.col("__cnt").desc(), F.col("__cat").asc()]
+        else:
+            order = [
+                F.col("__cnt").desc(),
+                F.col("__cat").asc() if ties == "lowest" else F.col("__cat").desc(),
+            ]
         w = Window.partitionBy("focal").orderBy(*order)
         return (
             counts.withColumn("__rk", F.row_number().over(w))

@@ -198,7 +198,7 @@ def main():
         f"- local[{hi}]: `{h_hi}`",
         f"- **identical: {h_lo == h_hi}**",
         "",
-        "## Headline suite (bench.py) at local[%d], %s" % (hi, sf_dir),
+        "## Headline suite (bench.py) at local[32], %s" % sf_dir,
         "",
         "```json",
         json.dumps(b_hi, indent=2),

@@ -190,6 +190,16 @@ def test_lag_categorical(spark):
     assert lag[1] == "x"
 
 
+def test_lag_categorical_tryself_doctest(spark):
+    """Reference doctest (weights/spatial_lag.py:127-137): lat2W(3,3),
+    y = a b a b c b c b c, ties='tryself' -> b a b c b c b c b."""
+    g = lat2w(spark, 3, 3, "rook")
+    cats = ["a", "b", "a", "b", "c", "b", "c", "b", "c"]
+    y = spark.createDataFrame(list(enumerate(cats)), "id long, y string")
+    lag = {r.id: r.lag for r in g.lag_categorical(y, ties="tryself").collect()}
+    assert [lag[i] for i in range(9)] == ["b", "a", "b", "c", "b", "c", "b", "c", "b"]
+
+
 def test_eliminate_zeros(spark):
     g = Graph(
         spark.createDataFrame(
