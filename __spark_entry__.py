@@ -23,7 +23,7 @@ from collections.abc import Callable
 # make the engine importable regardless of the driver's cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from libpysal_spark.functions.detagg import (
@@ -83,14 +83,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lattice_positions(spark: SparkSession, sf_dir: str):
-    """Customer-keyed ragged lattice positions (id, gx, gy) + side length."""
+    """Customer-keyed ragged lattice positions (id, gx, gy) + side length.
+
+    Uses the distributed zip_index (range-partitioned ranks) — even fixture
+    prep avoids single-partition global sorts."""
+    from libpysal_spark.graph import zip_index
+
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = cust.count()
     side = int(n ** 0.5)
-    w = Window.orderBy("id")
-    pos = cust.select(F.col("c_custkey").alias("id")).withColumn(
-        "p", F.row_number().over(w) - 1
-    )
+    pos = zip_index(cust.select(F.col("c_custkey").alias("id")), "id", "p")
     return (
         pos.select(
             "id", (F.col("p") % side).alias("gx"), F.floor(F.col("p") / side).alias("gy")

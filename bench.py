@@ -43,14 +43,12 @@ def _points(spark, sf_dir, table, key):
 
 
 def _lattice(spark, sf_dir):
-    from pyspark.sql import Window
+    from libpysal_spark.graph import zip_index
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = cust.count()
     side = int(n ** 0.5)
-    pos = cust.select(F.col("c_custkey").alias("id")).withColumn(
-        "p", F.row_number().over(Window.orderBy("id")) - 1
-    )
+    pos = zip_index(cust.select(F.col("c_custkey").alias("id")), "id", "p")
     return lattice_polygons(
         spark,
         pos.select("id", (F.col("p") % side).alias("gx"), F.floor(F.col("p") / side).alias("gy")),

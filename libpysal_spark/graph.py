@@ -27,6 +27,40 @@ from pyspark.sql import functions as F
 EDGE_COLS = ("focal", "neighbor", "weight")
 
 
+def zip_index(df: DataFrame, order_col: str = "id", out_col: str = "pos") -> DataFrame:
+    """Append a 0-based dense index by ``order_col`` — distributed.
+
+    The zipWithIndex pattern: range-partition by the key, rank WITHIN each
+    partition (parallel windows), add per-partition cumulative offsets (one
+    tiny collect bounded by the partition count). Output is deterministic
+    regardless of sampled range boundaries: global position = partition
+    offset + local rank over distinct keys. Never a single-partition sort.
+    """
+    parts = (
+        df.repartitionByRange(order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    ).localCheckpoint()
+    counts = {
+        r["__pid"]: r["c"]
+        for r in parts.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + F.row_number().over(w) - 1)
+        .drop("__pid", "__off")
+    )
+
+
 def canonicalize(edges: DataFrame) -> DataFrame:
     """Project to the edge schema and apply the canonical sort.
 
@@ -380,36 +414,11 @@ class Graph:
 
         The WSP/CSR bridge (reference: weights/weights.py:28-75
         ``_LabelEncoder``, WSP at :1463): a dense integer index for array
-        backends. Distributed zipWithIndex pattern — range-partition by id,
-        rank within each partition (parallel windows), then add per-partition
-        cumulative offsets (one tiny collect, bounded by partition count).
-        No single-partition global sort anywhere; the output is deterministic
-        regardless of the sampled range boundaries because global position =
-        partition offset + local rank over distinct ids.
+        backends, via the distributed :func:`zip_index` (range-partitioned
+        ranks + cumulative offsets — never a single-partition sort).
         """
-        ids = (
-            self._ids()
-            .repartitionByRange("id")
-            .sortWithinPartitions("id")
-            .withColumn("__pid", F.spark_partition_id())
-        ).localCheckpoint()
-        counts = {
-            r["__pid"]: r["c"]
-            for r in ids.groupBy("__pid").agg(F.count("*").alias("c")).collect()
-        }
-        offsets, acc = [], 0
-        for pid in sorted(counts):
-            offsets.append((pid, acc))
-            acc += counts[pid]
-        spark = ids.sparkSession
-        off_df = spark.createDataFrame(offsets, "__pid int, __off long")
-        w = Window.partitionBy("__pid").orderBy("id")
-        return (
-            ids.join(F.broadcast(off_df), "__pid")
-            .select(
-                F.col("id").alias("old"),
-                (F.col("__off") + F.row_number().over(w) - 1).alias("new"),
-            )
+        return zip_index(self._ids(), "id", "new").select(
+            F.col("id").alias("old"), F.col("new")
         )
 
     def assign_self_weight(self, weight: float = 1.0) -> "Graph":
