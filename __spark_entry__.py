@@ -554,6 +554,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_metadata"] = _media_metadata
 
+    def _sample_frames(s, d):
+        from libpysal_spark.text.multimodal import sample_frames
+
+        # repeat the text so payloads span several fake frames
+        p = _docs(s, d).select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(F.repeat(F.col("text"), 8), "UTF-8").alias("payload"),
+        )
+        return sample_frames(p, "payload", "url", every_n=4, fake=True).orderBy(
+            "url", "frame_idx"
+        )
+
+    q["sample_frames_fake"] = _sample_frames
+
     # --- similarity search ---
     def _ann(s, d):
         emb = _emb(s, d)
@@ -756,6 +770,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _edges_out(voronoi_weights(_points(s, d, "supplier"), clip="extent"))
 
     q["voronoi_clipped"] = _voronoi_clipped
+
+    def _voronoi_cells(s, d):
+        from libpysal_spark.operators.delaunay import voronoi_polygons
+
+        cells = voronoi_polygons(_points(s, d, "supplier"))
+        pairs = F.arrays_zip(
+            F.slice("vertices", 1, F.size("vertices") - 1).alias("p"),
+            F.slice("vertices", 2, F.size("vertices") - 1).alias("q"),
+        )
+        area = F.abs(
+            F.aggregate(
+                pairs,
+                F.lit(0.0),
+                lambda acc, e: acc + e["p"]["x"] * e["q"]["y"] - e["q"]["x"] * e["p"]["y"],
+            )
+        ) / 2.0
+        return cells.select(
+            "id",
+            (F.size("vertices") - 1).cast("long").alias("n_vertices"),
+            F.round(area + 1e-9, 6).alias("area"),
+        ).orderBy("id")
+
+    q["voronoi_cells"] = _voronoi_cells
 
     def _alpha(s, d):
         from libpysal_spark.operators.delaunay import alpha_shape_edges
@@ -1380,6 +1417,18 @@ SELECT url,
   ((CAST(floor(x/100.0) AS BIGINT) + 1048576) << 21) + (CAST(floor(y/100.0) AS BIGINT) + 1048576) AS tile_r0,
   ((CAST(floor(x/10.0) AS BIGINT) + 1048576) << 21) + (CAST(floor(y/10.0) AS BIGINT) + 1048576) AS tile_r1
 FROM g ORDER BY url"""
+
+    # deterministic fake decode: n_frames = max(1, payload_bytes // 257),
+    # frames every 4, frame_bytes = payload_bytes // n_frames; payload =
+    # text repeated 8x, UTF-8 encoded.
+    o["sample_frames_fake"] = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, 8 * strlen(text) AS n FROM documents
+),
+f AS (SELECT url, n, greatest(n // 257, 1) AS nf FROM p)
+SELECT url, CAST(u.i AS INT) AS frame_idx, CAST(n // nf AS BIGINT) AS frame_bytes
+FROM f, LATERAL unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 4)) AS u(i)
+ORDER BY url, frame_idx"""
 
     xo, yo = geocode_sql("o_orderkey")
     o["pip_join"] = f"""

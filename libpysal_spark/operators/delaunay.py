@@ -348,6 +348,61 @@ def alpha_shape_edges(points: DataFrame, alpha: float, cells_per_side: int = 1) 
     )
 
 
+def voronoi_polygons(points: DataFrame, cells_per_side: int = 1) -> DataFrame:
+    """(id, vertices) closed Voronoi cell rings for INTERIOR points.
+
+    Duality made constructive: the Voronoi cell of an interior point is the
+    polygon of the circumcenters of its incident Delaunay triangles, ordered
+    by angle around the point. Hull points have unbounded cells and are
+    OMITTED (the reference clips them to a box/hull — cg/voronoi.py:309-506
+    ``voronoi_frames``; the bounded interior cells are identical). Hull
+    membership = incident to any once-used Delaunay edge.
+
+    Fully relational after the triangle table: explode 3 vertices per
+    triangle, one groupBy(id) with an angle-sorted collect — the same shuffle
+    shape as every other per-focal aggregate here.
+    """
+    tris = delaunay_triangles(points, cells_per_side).localCheckpoint()
+    per_vertex = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("id"), "ccx", "ccy"
+    )
+    # hull points: endpoints of boundary (once-used) edges
+    e3 = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    boundary = (
+        e3.groupBy("u", "v").agg(F.count("*").alias("__n")).filter(F.col("__n") == 1)
+    )
+    hull_ids = (
+        boundary.select(F.col("u").alias("id"))
+        .unionByName(boundary.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    pts = points.select("id", F.col("x").alias("__px"), F.col("y").alias("__py"))
+    ordered = (
+        per_vertex.join(hull_ids, "id", "left_anti")
+        .join(pts, "id")
+        .withColumn("__ang", F.atan2(F.col("ccy") - F.col("__py"), F.col("ccx") - F.col("__px")))
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__ang").alias("a"), F.col("ccx").alias("x"), F.col("ccy").alias("y"))
+                )
+            ).alias("__ring")
+        )
+    )
+    ring = F.transform("__ring", lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")))
+    closed = F.concat(ring, F.slice(ring, 1, 1))
+    return ordered.select("id", closed.alias("vertices"))
+
+
 def _segment_hits_box(p0x, p0y, p1x, p1y, bx0, by0, bx1, by1):
     """Boolean Column: segment P0→P1 intersects the axis-aligned box.
 

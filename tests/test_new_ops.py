@@ -89,6 +89,24 @@ def test_alpha_shape_triangle_filtration(spark):
     assert boundary == {(0, 1), (0, 2), (1, 3), (2, 3)}
 
 
+def test_voronoi_polygons_interior_cell(spark):
+    from libpysal_spark.operators.delaunay import voronoi_polygons
+
+    # unit square corners + center: the center's Voronoi cell is the diamond
+    # of the four edge midpoints; the corner cells are unbounded (omitted)
+    rows = [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 1.0), (4, 0.5, 0.5)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    cells = {r.id: [(v.x, v.y) for v in r.vertices] for r in voronoi_polygons(pts).collect()}
+    assert set(cells) == {4}
+    ring = cells[4]
+    assert len(ring) == 5 and ring[0] == ring[-1]
+    assert set(ring[:-1]) == {(0.5, 0.0), (1.0, 0.5), (0.5, 1.0), (0.0, 0.5)}
+    # shoelace area of the diamond = 0.5
+    area = abs(sum(ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                   for i in range(4))) / 2
+    assert abs(area - 0.5) < 1e-12
+
+
 def test_voronoi_clipped_subset_and_interior_preserved(spark):
     from libpysal_spark.operators.delaunay import voronoi_weights
 
