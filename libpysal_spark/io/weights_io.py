@@ -79,6 +79,45 @@ def write_gwt(g: Graph, path: str, shp: str = "unknown", varname: str = "id") ->
             f.write(f"{fo} {ne} {w}\n")
 
 
+def read_mtx(spark: SparkSession, path: str) -> Graph:
+    """MatrixMarket coordinate reader (reference: io/iohandlers/mtx.py).
+
+    ``%%MatrixMarket matrix coordinate real general`` header, %-comments,
+    then ``rows cols nnz`` and 1-based ``i j w`` triplets. Ids are converted
+    to the 0-based dense index the reference's WSP uses; every row index in
+    [0, rows) is part of the id universe (isolates resolved).
+    """
+    rows = []
+    dims = None
+    for ln in open(path):
+        ln = ln.strip()
+        if not ln or ln.startswith("%"):
+            continue
+        parts = ln.split()
+        if dims is None:
+            dims = (int(parts[0]), int(parts[1]))
+            continue
+        w = float(parts[2]) if len(parts) > 2 else 1.0
+        rows.append((int(parts[0]) - 1, int(parts[1]) - 1, w))
+    edges = spark.createDataFrame(rows, "focal long, neighbor long, weight double")
+    n = dims[0] if dims else 0
+    ids = spark.range(n).select(F.col("id"))
+    return Graph(resolve_isolates(edges, ids))
+
+
+def write_mtx(g: Graph, path: str, comment: str = "written by libpysal_spark") -> None:
+    """MatrixMarket coordinate writer (1-based, real general)."""
+    pdf = g.sorted().toPandas()
+    real = pdf[~((pdf.focal == pdf.neighbor) & (pdf.weight == 0.0))]
+    n = int(pdf["focal"].nunique())
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"% {comment}\n")
+        f.write(f"{n} {n} {len(real)}\n")
+        for fo, ne, w in real.itertuples(index=False):
+            f.write(f"{int(fo) + 1} {int(ne) + 1} {w}\n")
+
+
 def write_parquet(g: Graph, path: str, partition_cols: list[str] | None = None) -> None:
     """Edge table + sidecar metadata (graph/io/_parquet.py:6-36 analog)."""
     writer = g.sorted().write.mode("overwrite")

@@ -316,7 +316,10 @@ def optimize_bandwidth(
     import numpy as np
 
     tbl = knn_table(points, k)
-    d = np.array([r.dist for r in tbl.limit(sample).collect()])
+    # deterministic bounded sample: TakeOrdered, not an arbitrary limit()
+    d = np.array(
+        [r.dist for r in tbl.orderBy("focal", "neighbor").limit(sample).collect()]
+    )
     if len(d) == 0:
         return 1.0
     n_bins = max(int(math.isqrt(points.count())), 2)

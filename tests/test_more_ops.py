@@ -174,6 +174,13 @@ def test_io_roundtrips(spark, tmp_path):
     g3 = read_parquet(spark, pq)
     assert g3.transformation == "R"
     assert g.transform("R").equals(g3)
+    from libpysal_spark.io.weights_io import read_mtx, write_mtx
+
+    mtx = str(tmp_path / "w.mtx")
+    write_mtx(g.transform("R"), mtx)
+    g4 = read_mtx(spark, mtx)
+    assert g.transform("R").equals(g4)
+    assert open(mtx).readline().startswith("%%MatrixMarket")
 
 
 def test_components_and_clustering(spark):
