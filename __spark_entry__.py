@@ -1484,7 +1484,9 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
 FROM documents GROUP BY 1 ORDER BY content_hash"""
 
     hash_cols = ",\n  ".join(
-        f"min(('0x' || substr(md5(concat('{i}:', sh)), 1, 15))::BIGINT) AS h{i}"
+        "min(({a} * (('0x' || substr(md5(sh), 1, 15))::BIGINT % {p}) + {b}) % {p}) AS h{i}".format(
+            a=D.minhash_coeffs(i)[0], b=D.minhash_coeffs(i)[1], p=D.MINHASH_P, i=i
+        )
         for i in range(MINHASH_H)
     )
     rows_per_band = MINHASH_H // MINHASH_BANDS

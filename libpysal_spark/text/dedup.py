@@ -64,6 +64,14 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic affine-family coefficients (shared with the SQL oracle)."""
+    return 1_000_003 * i + 17, 7_919 * i + 1
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -73,17 +81,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures.
 
-    Exploded-shingle groupBy: one shuffle by doc, mins computed as
-    min(h_i) aggregations — partial aggregation (map-side combine) makes this
-    linear in corpus size.
+    Broder's construction with a universal affine family: ONE md5 per shingle
+    (the expensive part), then h_i = (a_i·h + b_i) mod P for each of the K
+    permutations — K multiplies instead of K md5s. Exploded-shingle groupBy:
+    one shuffle by doc, mins with map-side combine — linear in corpus size.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    )
-    aggs = [
-        F.min(portable_hash(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    ).withColumn("__h", portable_hash(F.col("sh")) % F.lit(MINHASH_P))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        )
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
