@@ -77,6 +77,40 @@ def dedup_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def tile_running_totals(tiled: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-tile RUNNING page count + byte total.
+
+    ``applyInPandasWithState`` — the escape hatch for aggregations Spark's
+    built-in streaming aggs can't express (here: monotone running totals
+    emitted every micro-batch, no window). State per tile = (pages, bytes);
+    persisted in the state store, so a checkpointed restart resumes the
+    totals exactly — the streaming face of the lineage-resume contract.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (tile,) = key
+        cnt, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += int(pdf["text"].str.len().sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame([(tile, cnt, tot)], columns=["tile_r0", "pages", "text_chars"])
+
+    return (
+        tiled.select("tile_r0", "text")
+        .groupBy("tile_r0")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="tile_r0 long, pages long, text_chars long",
+            stateStructType="pages long, text_chars long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def tile_rollup_stream(
     tiled: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

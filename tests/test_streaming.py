@@ -88,6 +88,48 @@ def test_dedup_stream_drops_repeats(spark, drops_dir, tmp_path):
     assert out.count() == n_distinct
 
 
+def test_stateful_running_totals_resume(spark, drops_dir, tmp_path):
+    """applyInPandasWithState: running per-tile totals survive a checkpointed
+    restart — the second run over NEW files continues the counts."""
+    from libpysal_spark.streaming.ingest import tile_running_totals
+
+    src_dir = str(tmp_path / "statedrops")
+    ckpt = str(tmp_path / "ckpts")
+    src = spark.read.parquet(drops_dir)
+    src.filter(F.col("doc_id") < 300).write.parquet(src_dir)
+
+    out_dir = str(tmp_path / "stateout")
+
+    def run_once():
+        stream = tile_running_totals(
+            tiled_pages_stream(read_pages_stream(spark, src_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def latest_total():
+        upd = spark.read.parquet(out_dir)
+        return (
+            upd.groupBy("tile_r0").agg(F.max("pages").alias("pages"))
+            .agg(F.sum("pages")).first()[0]
+        )
+
+    run_once()
+    assert latest_total() == 300
+    # drop the remaining docs and RESTART from the same checkpoint
+    src.filter(F.col("doc_id") >= 300).write.mode("append").parquet(src_dir)
+    run_once()
+    assert latest_total() == 500  # state resumed, not recounted
+
+
 def test_tile_rollup_counts(spark, drops_dir, tmp_path):
     stream = tile_rollup_stream(tiled_pages_stream(read_pages_stream(spark, drops_dir)))
     q = (
