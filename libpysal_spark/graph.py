@@ -768,11 +768,11 @@ class Graph:
         )
         prev = _sig(e)
         for _ in range(max_iters):
-            e1 = star(e, large=True).localCheckpoint()
-            e2 = star(e1, large=False).localCheckpoint()
+            # one checkpoint per round: the large-star stage stays lazy inside
+            # the small-star job (lineage depth stays bounded at 2 stars)
+            e2 = star(star(e, large=True), large=False).localCheckpoint()
             cur = _sig(e2)
             e.unpersist()
-            e1.unpersist()
             e = e2
             if cur == prev:
                 break
