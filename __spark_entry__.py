@@ -652,6 +652,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["arc_knn"] = _arc
 
+    def _arc_band(s, d):
+        from libpysal_spark.functions.sphere import arc_distance_band
+
+        pts = _points(s, d, "supplier").select(
+            "id",
+            (F.col("x") * 0.36 - 180.0).alias("lon"),
+            (F.col("y") * 0.18 - 90.0).alias("lat"),
+        )
+        return _edges_out(arc_distance_band(pts, 1500.0))
+
+    q["arc_distance_band"] = _arc_band
+
     # --- great-circle grid (cg/sphere.py:566 geogrid) ---
     GEO_K = 20
     GEO_UP = (-87.946389, 42.023768)
@@ -1849,6 +1861,30 @@ SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
        CAST(round((CASE WHEN col = 0 THEN Llon WHEN col = {_gk} THEN Rlon ELSE Mlon END) + 1e-9, 6) AS DOUBLE) AS lon,
        CAST(round((CASE WHEN col = 0 THEN Llat WHEN col = {_gk} THEN Rlat ELSE Mlat END) + 1e-9, 6) AS DOUBLE) AS lat
 FROM Mout ORDER BY row, col"""
+
+    import math as _math
+
+    _chord_1500 = 2.0 * _math.sin(1500.0 / (2.0 * 6371.0))
+    o["arc_distance_band"] = f"""
+WITH ll AS (
+  SELECT s_suppkey AS id, ({xs3}) * 0.36 - 180.0 AS lon, ({ys3}) * 0.18 - 90.0 AS lat
+  FROM supplier
+),
+pts AS (SELECT id, lon AS x, lat AS y FROM ll),
+xyz AS (
+  SELECT id,
+         cos(radians(lat)) * cos(radians(lon)) AS x3,
+         cos(radians(lat)) * sin(radians(lon)) AS y3,
+         sin(radians(lat)) AS z3
+  FROM ll
+),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor
+  FROM xyz a JOIN xyz b ON a.id <> b.id
+  WHERE sqrt((a.x3-b.x3)*(a.x3-b.x3) + (a.y3-b.y3)*(a.y3-b.y3) + (a.z3-b.z3)*(a.z3-b.z3))
+        <= {_chord_1500!r}
+)
+{_iso_sql()}"""
 
     _band_cust = f"""
 pts AS ({_pts_sql('customer')}),

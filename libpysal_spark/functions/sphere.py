@@ -146,6 +146,84 @@ def _chord(ax="ax", ay="ay", az="az", bx="bx", by="by", bz="bz") -> Column:
     return F.sqrt(dx * dx + dy * dy + dz * dz)
 
 
+def arc_distance_band(
+    points: DataFrame,
+    threshold: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    radius: float = EARTH_RADIUS_KM,
+    cell_deg: float | None = None,
+):
+    """Great-circle DistanceBand (reference: cg/sphere.py ``fast_threshold``
+    :342-380 + Arc_KDTree ``query_ball`` semantics): binary weights for all
+    pairs within ``threshold`` (in ``radius`` units) of arc distance.
+
+    Grid shape: (lon, lat) degree cells, lat ring a constant ±ceil(t/s), lon
+    ring widened PER FOCAL by the latitude distortion bound
+    sin(Δλ/2) <= sin(t/2)/sqrt(cos φ · cos(|φ|+t)) (haversine), falling back
+    to the full lon circle near the poles — candidates stay ~linear away
+    from the poles, and the exact chord filter keeps the result exact
+    everywhere. Lon cells wrap at the antimeridian.
+    """
+    import math as _m
+
+    from pyspark.sql import functions as _F
+
+    from libpysal_spark.graph import Graph, resolve_isolates
+
+    t_rad = float(threshold) / float(radius)
+    t_deg = _m.degrees(t_rad)
+    chord_t = arcdist_to_chord(float(threshold), float(radius))
+    s = float(cell_deg or max(t_deg, 1e-9))
+    nlon = max(int(-(-360.0 // s)), 1)
+    wlat = max(int(-(-t_deg // s)), 1)
+
+    pts = with_xyz(points.select("id", F.col(lon).alias("lon"), F.col(lat).alias("lat")))
+    cx = F.pmod(F.floor((F.col("lon") + 180.0) / F.lit(s)), F.lit(nlon))
+    cy = F.floor((F.col("lat") + 90.0) / F.lit(s))
+    tagged = pts.withColumn("cx", cx).withColumn("cy", cy)
+
+    # per-focal lon half-width in cells (capped at the full circle)
+    denom = F.cos(F.radians(F.col("lat"))) * F.cos(
+        F.radians(F.least(F.abs(F.col("lat")) + F.lit(t_deg), F.lit(90.0)))
+    )
+    sin_half = F.lit(_m.sin(t_rad / 2.0)) / F.sqrt(F.greatest(denom, F.lit(1e-12)))
+    dlam_deg = F.when(
+        sin_half >= 1.0, F.lit(180.0)
+    ).otherwise(F.degrees(F.lit(2.0) * F.asin(sin_half)))
+    wlon = F.least(
+        F.ceil(dlam_deg / F.lit(s)) + 1, F.lit(nlon // 2 + 1)
+    ).cast("int")
+
+    probes = (
+        tagged.withColumn("__dx", F.explode(F.sequence(-wlon, wlon)))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-wlat), F.lit(wlat))))
+        .select(
+            F.col("id").alias("focal"),
+            F.col("x3").alias("ax"), F.col("y3").alias("ay"), F.col("z3").alias("az"),
+            (
+                F.pmod(F.col("cx") + F.col("__dx"), F.lit(nlon)) * F.lit(100_000)
+                + (F.col("cy") + F.col("__dy"))
+            ).alias("cell_probe"),
+        )
+        .distinct()  # lon wrap can alias probe cells
+    )
+    right = tagged.select(
+        F.col("id").alias("neighbor"),
+        F.col("x3").alias("bx"), F.col("y3").alias("by"), F.col("z3").alias("bz"),
+        (F.col("cx") * F.lit(100_000) + F.col("cy")).alias("cell_r"),
+    )
+    edges = (
+        probes.join(right, probes.cell_probe == right.cell_r)
+        .filter(F.col("focal") != F.col("neighbor"))
+        .withColumn("chord", _chord())
+        .filter(F.col("chord") <= F.lit(chord_t))
+        .select("focal", "neighbor")
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(resolve_isolates(edges, points.select("id")))
+
+
 def arc_knn(points: DataFrame, k: int, lon: str = "lon", lat: str = "lat",
             radius: float = EARTH_RADIUS_KM, cell_deg: float | None = None,
             initial_ring: int = 1, max_rounds: int = 4):

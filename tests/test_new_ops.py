@@ -136,6 +136,39 @@ def test_spatial_matching_small_n(spark):
         spatial_matching(pts, n_matches=2)
 
 
+def test_arc_distance_band_matches_brute(spark):
+    import math
+
+    from libpysal_spark.functions.sphere import arc_distance_band, to_xyz, arcdist_to_chord
+
+    rows = [
+        (i, float((i * 37) % 360) - 180.0, float((i * 61) % 170) - 85.0)
+        for i in range(120)
+    ] + [(900, 10.0, 88.5), (901, -170.0, 88.7)]  # near-pole pair (lon far, arc close)
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    threshold = 1500.0  # km
+    got = {
+        (r.focal, r.neighbor)
+        for r in arc_distance_band(pts, threshold).edges.collect()
+        if not (r.focal == r.neighbor and r.weight == 0.0)
+    }
+    # brute oracle on the driver
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    lam = np.radians([r[1] for r in rows])
+    phi = np.radians([r[2] for r in rows])
+    xyz = np.stack([np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)], 1)
+    chord_t = arcdist_to_chord(threshold)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i != j and np.linalg.norm(xyz[i] - xyz[j]) <= chord_t:
+                want.add((int(ids[i]), int(ids[j])))
+    assert got == want
+    assert (900, 901) in got  # polar pair found despite huge lon delta
+
+
 def test_geointerpolate_and_geogrid_goldens(spark):
     """Reference doctest values (cg/sphere.py:502-640, public doctests)."""
     from libpysal_spark.functions.sphere import geogrid, geointerpolate_cols
