@@ -169,6 +169,16 @@ def test_arc_distance_band_matches_brute(spark):
     assert (900, 901) in got  # polar pair found despite huge lon delta
 
 
+def test_delaunay_triangles_partitioned_matches_exact(spark):
+    from libpysal_spark.operators.delaunay import delaunay_triangles
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(60)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    exact = {(r.a, r.b, r.c) for r in delaunay_triangles(pts, cells_per_side=1).collect()}
+    parts = {(r.a, r.b, r.c) for r in delaunay_triangles(pts, cells_per_side=2).collect()}
+    assert parts == exact
+
+
 def test_geointerpolate_and_geogrid_goldens(spark):
     """Reference doctest values (cg/sphere.py:502-640, public doctests)."""
     from libpysal_spark.functions.sphere import geogrid, geointerpolate_cols
