@@ -494,7 +494,12 @@ def nonplanar_neighbors(
             .select(id_alias, v_alias, pack_cell(F.col("cx"), F.col("cy")).alias("cell"))
         )
 
-    a = F.broadcast(covered(isl_polys, "focal", "va"))
+    # islands are small BY CONSTRUCTION in real data (they are the repair
+    # set); broadcast only while that holds — a pathological all-island
+    # input falls back to the plain hash join rather than OOMing the driver
+    a = covered(isl_polys, "focal", "va")
+    if islands.count() <= 100_000:
+        a = F.broadcast(a)
     b = covered(polygons, "neighbor", "vb")
     cand = (
         a.join(b, "cell")
