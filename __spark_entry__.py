@@ -784,9 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["voronoi_clipped"] = _voronoi_clipped
 
     def _voronoi_cells(s, d):
+        # clipped Voronoi cells PARTITION the point extent — (cell count,
+        # total area) equals (point count, bbox area), an oracle-checkable
+        # invariant of the whole polygon pipeline
         from libpysal_spark.operators.delaunay import voronoi_polygons
 
-        cells = voronoi_polygons(_points(s, d, "supplier"))
+        cells = voronoi_polygons(_points(s, d, "supplier"), clip="extent")
         pairs = F.arrays_zip(
             F.slice("vertices", 1, F.size("vertices") - 1).alias("p"),
             F.slice("vertices", 2, F.size("vertices") - 1).alias("q"),
@@ -798,11 +801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 lambda acc, e: acc + e["p"]["x"] * e["q"]["y"] - e["q"]["x"] * e["p"]["y"],
             )
         ) / 2.0
-        return cells.select(
-            "id",
-            (F.size("vertices") - 1).cast("long").alias("n_vertices"),
-            F.round(area + 1e-9, 6).alias("area"),
-        ).orderBy("id")
+        return cells.select("id", area.alias("__a")).agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.round(F.sum("__a") + 1e-9, 2).alias("total_area"),
+        )
 
     q["voronoi_cells"] = _voronoi_cells
 
@@ -1861,6 +1863,14 @@ SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
        CAST(round((CASE WHEN col = 0 THEN Llon WHEN col = {_gk} THEN Rlon ELSE Mlon END) + 1e-9, 6) AS DOUBLE) AS lon,
        CAST(round((CASE WHEN col = 0 THEN Llat WHEN col = {_gk} THEN Rlat ELSE Mlat END) + 1e-9, 6) AS DOUBLE) AS lat
 FROM Mout ORDER BY row, col"""
+
+    # clipped Voronoi cells partition the extent: count == points, Σarea ==
+    # bbox area (the strongest scalar invariant of the polygon pipeline)
+    o["voronoi_cells"] = f"""
+WITH pts AS ({_pts_sql('supplier')})
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(round((max(x) - min(x)) * (max(y) - min(y)) + 1e-9, 2) AS DOUBLE) AS total_area
+FROM pts"""
 
     import math as _math
 

@@ -348,46 +348,104 @@ def alpha_shape_edges(points: DataFrame, alpha: float, cells_per_side: int = 1) 
     )
 
 
-def voronoi_polygons(points: DataFrame, cells_per_side: int = 1) -> DataFrame:
-    """(id, vertices) closed Voronoi cell rings for INTERIOR points.
+def voronoi_polygons(
+    points: DataFrame, cells_per_side: int = 1, clip: str | None = None
+) -> DataFrame:
+    """(id, vertices) closed Voronoi cell rings.
 
-    Duality made constructive: the Voronoi cell of an interior point is the
+    Duality made constructive: the Voronoi cell of a point is the convex
     polygon of the circumcenters of its incident Delaunay triangles, ordered
-    by angle around the point. Hull points have unbounded cells and are
-    OMITTED (the reference clips them to a box/hull — cg/voronoi.py:309-506
-    ``voronoi_frames``; the bounded interior cells are identical). Hull
-    membership = incident to any once-used Delaunay edge.
+    by angle around the point (standard duality: Voronoi vertices of cell i =
+    circumcenters of triangles incident to i).
 
-    Fully relational after the triangle table: explode 3 vertices per
-    triangle, one groupBy(id) with an angle-sorted collect — the same shuffle
-    shape as every other per-focal aggregate here.
+    - ``clip=None``: only INTERIOR points (bounded cells) are returned; hull
+      cells are unbounded and omitted.
+    - ``clip="extent"``: hull cells are included — each unbounded cell is
+      truncated along its two boundary rays at 4x the bbox diagonal (exact
+      for any clip within the extent: the cut-off part lies beyond it) and
+      every cell is Sutherland–Hodgman-clipped to the point bbox. This is
+      the reference's default clipped ``voronoi_frames``
+      (cg/voronoi.py:309-506; weights/contiguity.py:619-694). Cell areas
+      then partition the bbox exactly. (Caveat: a needle-degenerate hull
+      corner — exterior angle approaching 180° — would need a larger far
+      multiplier for the truncation chord to stay outside the extent.)
+
+    Plan shape: explode 3 vertices per triangle, one groupBy(id) with an
+    angle-sorted collect (bounded by degree), and — only when clipping — one
+    mapInPandas pass for the polygon clip.
     """
     tris = delaunay_triangles(points, cells_per_side).localCheckpoint()
     per_vertex = tris.select(
         F.explode(F.array("a", "b", "c")).alias("id"), "ccx", "ccy"
     )
-    # hull points: endpoints of boundary (once-used) edges
+    # boundary (once-used) edges with their single triangle's circumcenter,
+    # primal endpoints and the opposite vertex (for outward ray orientation)
     e3 = tris.select(
+        "ccx", "ccy",
         F.explode(
             F.array(
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
-                F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                F.struct(
+                    F.col("a").alias("u"), F.col("b").alias("v"),
+                    F.col("ax").alias("ux"), F.col("ay").alias("uy"),
+                    F.col("bx").alias("vx"), F.col("by").alias("vy"),
+                    F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+                ),
+                F.struct(
+                    F.col("b").alias("u"), F.col("c").alias("v"),
+                    F.col("bx").alias("ux"), F.col("by").alias("uy"),
+                    F.col("cx").alias("vx"), F.col("cy").alias("vy"),
+                    F.col("ax").alias("ox"), F.col("ay").alias("oy"),
+                ),
+                F.struct(
+                    F.col("a").alias("u"), F.col("c").alias("v"),
+                    F.col("ax").alias("ux"), F.col("ay").alias("uy"),
+                    F.col("cx").alias("vx"), F.col("cy").alias("vy"),
+                    F.col("bx").alias("ox"), F.col("by").alias("oy"),
+                ),
             )
-        ).alias("e")
-    ).select("e.u", "e.v")
-    boundary = (
-        e3.groupBy("u", "v").agg(F.count("*").alias("__n")).filter(F.col("__n") == 1)
+        ).alias("e"),
+    ).select("ccx", "ccy", "e.*")
+    grouped = e3.groupBy("u", "v").agg(
+        F.count("*").alias("__n"),
+        F.first("ccx").alias("ccx"), F.first("ccy").alias("ccy"),
+        F.first("ux").alias("ux"), F.first("uy").alias("uy"),
+        F.first("vx").alias("vx"), F.first("vy").alias("vy"),
+        F.first("ox").alias("ox"), F.first("oy").alias("oy"),
     )
+    boundary = grouped.filter(F.col("__n") == 1)
     hull_ids = (
         boundary.select(F.col("u").alias("id"))
         .unionByName(boundary.select(F.col("v").alias("id")))
         .distinct()
     )
     pts = points.select("id", F.col("x").alias("__px"), F.col("y").alias("__py"))
+
+    cell_vertices = per_vertex
+    if clip is not None:
+        b = points.agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        ).first()
+        diag = ((b.x1 - b.x0) ** 2 + (b.y1 - b.y0) ** 2) ** 0.5 or 1.0
+        far = 4.0 * diag
+        # far endpoint of each boundary ray, attributed to BOTH endpoints
+        mx = (F.col("ux") + F.col("vx")) / 2.0
+        my = (F.col("uy") + F.col("vy")) / 2.0
+        px = F.col("vy") - F.col("uy")
+        py = F.col("ux") - F.col("vx")
+        plen = F.sqrt(px * px + py * py)
+        sign = F.when((px * (mx - F.col("ox")) + py * (my - F.col("oy"))) >= 0, 1.0).otherwise(-1.0)
+        fx = (F.col("ccx") + sign * px / plen * F.lit(far)).alias("ccx")
+        fy = (F.col("ccy") + sign * py / plen * F.lit(far)).alias("ccy")
+        ray_pts = boundary.select(F.col("u").alias("id"), fx, fy).unionByName(
+            boundary.select(F.col("v").alias("id"), fx, fy)
+        )
+        cell_vertices = per_vertex.unionByName(ray_pts)
+    else:
+        cell_vertices = per_vertex.join(hull_ids, "id", "left_anti")
+
     ordered = (
-        per_vertex.join(hull_ids, "id", "left_anti")
-        .join(pts, "id")
+        cell_vertices.join(pts, "id")
         .withColumn("__ang", F.atan2(F.col("ccy") - F.col("__py"), F.col("ccx") - F.col("__px")))
         .groupBy("id")
         .agg(
@@ -400,7 +458,28 @@ def voronoi_polygons(points: DataFrame, cells_per_side: int = 1) -> DataFrame:
     )
     ring = F.transform("__ring", lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")))
     closed = F.concat(ring, F.slice(ring, 1, 1))
-    return ordered.select("id", closed.alias("vertices"))
+    cells = ordered.select("id", closed.alias("vertices"))
+    if clip is None:
+        return cells
+
+    from libpysal_spark.operators.overlay import _clip_ring
+
+    box = [(b.x0, b.y0), (b.x1, b.y0), (b.x1, b.y1), (b.x0, b.y1), (b.x0, b.y0)]
+
+    def clip_batches(it):
+        for pdf in it:
+            ids, rings = [], []
+            for id_, ring_ in zip(pdf["id"], pdf["vertices"]):
+                subj = [(v["x"], v["y"]) for v in ring_]
+                out = _clip_ring(subj, box)
+                if out:
+                    ids.append(id_)
+                    rings.append([{"x": x, "y": y} for x, y in out + out[:1]])
+            yield pd.DataFrame({"id": ids, "vertices": rings})
+
+    return cells.mapInPandas(
+        clip_batches, "id long, vertices array<struct<x double, y double>>"
+    )
 
 
 def _segment_hits_box(p0x, p0y, p1x, p1y, bx0, by0, bx1, by1):

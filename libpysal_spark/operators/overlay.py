@@ -80,9 +80,10 @@ def dissolve_stats(polygons: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def _clip_area(subject: list, clip: list) -> float:
-    """Sutherland–Hodgman clip (clip ring must be convex, CCW or CW) then
-    shoelace area. Pure python/numpy on small vertex lists."""
+def _clip_ring(subject: list, clip: list) -> list:
+    """Sutherland–Hodgman clip (clip ring must be convex, CCW or CW).
+    Returns the clipped OPEN ring (possibly empty). Pure python on small
+    vertex lists."""
 
     def inside(p, a, b):
         return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
@@ -100,7 +101,7 @@ def _clip_area(subject: list, clip: list) -> float:
     for i in range(n):
         a, b = cl[i], cl[(i + 1) % n]
         if not out:
-            return 0.0
+            return []
         cur = out
         out = []
         for j in range(len(cur)):
@@ -114,7 +115,13 @@ def _clip_area(subject: list, clip: list) -> float:
                 dq = inside(q, a, b)
                 t = dp / (dp - dq)
                 out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
-    if len(out) < 3:
+    return out if len(out) >= 3 else []
+
+
+def _clip_area(subject: list, clip: list) -> float:
+    """Clipped-intersection area: Sutherland–Hodgman + shoelace."""
+    out = _clip_ring(subject, clip)
+    if not out:
         return 0.0
     s = 0.0
     for j in range(len(out)):

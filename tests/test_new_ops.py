@@ -101,10 +101,25 @@ def test_voronoi_polygons_interior_cell(spark):
     ring = cells[4]
     assert len(ring) == 5 and ring[0] == ring[-1]
     assert set(ring[:-1]) == {(0.5, 0.0), (1.0, 0.5), (0.5, 1.0), (0.0, 0.5)}
-    # shoelace area of the diamond = 0.5
-    area = abs(sum(ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
-                   for i in range(4))) / 2
-    assert abs(area - 0.5) < 1e-12
+
+    def shoelace(r):
+        return abs(sum(r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]
+                       for i in range(len(r) - 1))) / 2
+
+    assert abs(shoelace(ring) - 0.5) < 1e-12
+
+    # clip='extent': ALL five cells, partitioning the unit bbox exactly —
+    # corner cells are the right triangles {x+y<=0.5}-style, area 0.125 each
+    clipped = {
+        r.id: [(v.x, v.y) for v in r.vertices]
+        for r in voronoi_polygons(pts, clip="extent").collect()
+    }
+    assert set(clipped) == {0, 1, 2, 3, 4}
+    areas = {i: shoelace(ring) for i, ring in clipped.items()}
+    assert abs(areas[4] - 0.5) < 1e-9
+    for c in (0, 1, 2, 3):
+        assert abs(areas[c] - 0.125) < 1e-9
+    assert abs(sum(areas.values()) - 1.0) < 1e-9
 
 
 def test_voronoi_clipped_subset_and_interior_preserved(spark):
