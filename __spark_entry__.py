@@ -776,6 +776,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["voronoi"] = _voronoi
 
+    def _delaunay_euler(s, d):
+        # structural oracle for the triangulation: Euler's relation for a
+        # Delaunay triangulation of n points with h hull points (general
+        # position): undirected edges = 3n - 3 - h, triangles = 2n - 2 - h.
+        # The SQL side derives n and h from GEOMETRY ALONE (halfplane test),
+        # so any missing or spurious edge/triangle breaks the match.
+        from libpysal_spark.operators.delaunay import delaunay, delaunay_triangles
+
+        pts = _points(s, d, "supplier")
+        g = delaunay(pts)
+        e_und = (
+            g.edges.filter(
+                ~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
+            )
+            .filter(F.col("focal") < F.col("neighbor"))
+            .agg(F.count("*").alias("n_edges"))
+        )
+        tri = delaunay_triangles(pts).agg(F.count("*").alias("n_triangles"))
+        n = pts.agg(F.count("*").alias("n"))
+        return (
+            n.crossJoin(e_und)
+            .crossJoin(tri)
+            .select(
+                F.col("n").cast("long").alias("n"),
+                F.col("n_edges").cast("long").alias("n_edges"),
+                F.col("n_triangles").cast("long").alias("n_triangles"),
+            )
+        )
+
+    q["delaunay_euler"] = _delaunay_euler
+
     def _voronoi_clipped(s, d):
         from libpysal_spark.operators.delaunay import voronoi_weights
 
@@ -1863,6 +1894,25 @@ SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
        CAST(round((CASE WHEN col = 0 THEN Llon WHEN col = {_gk} THEN Rlon ELSE Mlon END) + 1e-9, 6) AS DOUBLE) AS lon,
        CAST(round((CASE WHEN col = 0 THEN Llat WHEN col = {_gk} THEN Rlat ELSE Mlat END) + 1e-9, 6) AS DOUBLE) AS lat
 FROM Mout ORDER BY row, col"""
+
+    # Euler relation, with n and the hull count derived from geometry alone:
+    # a is a hull vertex iff some b exists with every other c strictly on one
+    # side of line (a, b)
+    o["delaunay_euler"] = f"""
+WITH pts AS ({_pts_sql('supplier')}),
+hull AS (
+  SELECT DISTINCT a.id FROM pts a JOIN pts b ON b.id <> a.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.id <> a.id AND c.id <> b.id
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0
+  )
+),
+agg AS (SELECT (SELECT count(*) FROM pts) AS n, (SELECT count(*) FROM hull) AS h)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(3 * n - 3 - h AS BIGINT) AS n_edges,
+       CAST(2 * n - 2 - h AS BIGINT) AS n_triangles
+FROM agg"""
 
     # clipped Voronoi cells partition the extent: count == points, Σarea ==
     # bbox area (the strongest scalar invariant of the polygon pipeline)
