@@ -126,12 +126,18 @@ def main():
                 pass
     spark.range(1000000).select(F.sum("id")).collect()
 
+    # two timed passes, min per query: this host's wall clock swings 2-5x
+    # run-to-run (oversubscribed VM) — the min of interleaved warm passes is
+    # the standard noisy-host estimator (same policy as scripts/scaling.py)
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in suite(spark, sf_dir).items():
-        t0 = time.time()
-        rows[name] = fn().count()
-        times[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name, fn in suite(spark, sf_dir).items():
+            t0 = time.time()
+            rows[name] = fn().count()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
 
     total = round(sum(times.values()), 3)
     total_rows = sum(rows.values())
