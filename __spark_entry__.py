@@ -224,6 +224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["knn"] = lambda s, d: _edges_out(knn(_points(s, d, "customer"), KNN_K))
+    # Minkowski p=1 (reference KNN/DistanceBand ``p`` parameter)
+    q["knn_manhattan"] = lambda s, d: _edges_out(
+        knn(_points(s, d, "customer"), KNN_K, p=1.0)
+    )
+    q["distance_band_manhattan"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T, p=1.0)
+    )
     q["knn_symmetrize"] = lambda s, d: _edges_out(
         knn(_points(s, d, "customer"), KNN_K).symmetrize("max")
     )
@@ -1064,6 +1071,33 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["knn"] = f"WITH {_knn_cte('customer', KNN_K)} {_iso_sql()}"
+
+    o["knn_manhattan"] = f"""
+WITH pts AS ({_pts_sql('customer')}),
+cand AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         abs(a.x-b.x) + abs(a.y-b.y) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+e AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor,
+           row_number() OVER (PARTITION BY focal ORDER BY dist ASC, neighbor ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {KNN_K}
+)
+{_iso_sql()}"""
+
+    o["distance_band_manhattan"] = f"""
+WITH pts AS ({_pts_sql('orders')}),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND abs(a.x-b.x) <= {BAND_T} AND abs(a.y-b.y) <= {BAND_T}
+   AND abs(a.x-b.x) + abs(a.y-b.y) <= {BAND_T}
+)
+{_iso_sql()}"""
     o["knn_symmetrize"] = f"""
 WITH {_knn_cte('customer', KNN_K)},
 sym AS (

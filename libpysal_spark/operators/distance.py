@@ -30,22 +30,35 @@ from libpysal_spark.tiling import explode_to_ring, with_cells
 POINT_COLS = ("id", "x", "y")
 
 
-def _dist() -> F.Column:
-    # plain multiply (not pow): IEEE mul/add/sqrt are correctly rounded and
+def _dist(p: float = 2.0) -> F.Column:
+    # p=2 / p=1 use only mul/add/sqrt/abs: IEEE correctly-rounded and
     # bit-identical across engines — required for threshold filters and kNN
     # ranking to be reproducible against the SQL oracle and across cluster
-    # sizes (north_rule invariance).
+    # sizes (north_rule invariance). Other Minkowski p fall back to pow
+    # (reference: weights/distance.py KNN/DistanceBand ``p`` parameter).
     dx = F.col("x_f") - F.col("x_n")
     dy = F.col("y_f") - F.col("y_n")
-    return F.sqrt(dx * dx + dy * dy)
+    if p == 2.0:
+        return F.sqrt(dx * dx + dy * dy)
+    if p == 1.0:
+        return F.abs(dx) + F.abs(dy)
+    return F.pow(
+        F.pow(F.abs(dx), F.lit(float(p))) + F.pow(F.abs(dy), F.lit(float(p))),
+        F.lit(1.0 / float(p)),
+    )
 
 
-def candidate_pairs(points: DataFrame, radius: float, cell_size: float | None = None) -> DataFrame:
+def candidate_pairs(
+    points: DataFrame, radius: float, cell_size: float | None = None, p: float = 2.0
+) -> DataFrame:
     """All ordered pairs (focal != neighbor) within ``radius``, exactly once.
 
     One side keeps its own cell; the other is exploded to the covering ring —
     each qualifying pair meets on exactly one (probe_cell == cell) key, so no
     post-join dedup. Returns (focal, neighbor, x_f, y_f, x_n, y_n, dist).
+    ``p``: Minkowski metric order; the ring cover stays valid for any p >= 1
+    because L_inf <= L_p, so points outside ring r are farther than r*s in
+    every Minkowski metric.
     """
     s = float(cell_size or radius)
     # ring count r such that r*s >= radius (ceil)
@@ -66,7 +79,7 @@ def candidate_pairs(points: DataFrame, radius: float, cell_size: float | None = 
     pairs = left.join(right, left.cell_probe == right.cell).filter(
         F.col("focal") != F.col("neighbor")
     )
-    return pairs.withColumn("dist", _dist()).filter(F.col("dist") <= F.lit(float(radius))).drop(
+    return pairs.withColumn("dist", _dist(p)).filter(F.col("dist") <= F.lit(float(radius))).drop(
         "cell_probe", "cell"
     )
 
@@ -77,6 +90,7 @@ def distance_band(
     binary: bool = True,
     alpha: float = -1.0,
     cell_size: float | None = None,
+    p: float = 2.0,
 ) -> Graph:
     """DistanceBand weights (reference: weights/distance.py:748-1009).
 
@@ -84,7 +98,7 @@ def distance_band(
     gravity, reference :923-931). Isolates (no neighbor within threshold)
     become zero-weight self-loops, matching the reference's island handling.
     """
-    pairs = candidate_pairs(points, threshold, cell_size)
+    pairs = candidate_pairs(points, threshold, cell_size, p)
     if binary:
         w = F.lit(1.0)
     else:
@@ -118,9 +132,10 @@ def knn(
     cell_size: float | None = None,
     initial_ring: int = 1,
     max_rounds: int = 5,
+    p: float = 2.0,
 ) -> Graph:
     """K nearest neighbors, self excluded, binary weights."""
-    edges = knn_table(points, k, cell_size, initial_ring, max_rounds).select(
+    edges = knn_table(points, k, cell_size, initial_ring, max_rounds, p).select(
         "focal", "neighbor"
     ).withColumn("weight", F.lit(1.0))
     return Graph(resolve_isolates(edges, points.select("id")))
@@ -132,6 +147,7 @@ def knn_table(
     cell_size: float | None = None,
     initial_ring: int = 1,
     max_rounds: int = 5,
+    p: float = 2.0,
 ) -> DataFrame:
     """(focal, neighbor, dist) k-nearest-neighbor table.
 
@@ -200,7 +216,7 @@ def knn_table(
         cand = (
             probes.join(right, probes.cell_probe == right.cell_r)
             .filter(F.col("focal") != F.col("neighbor"))
-            .withColumn("dist", _dist())
+            .withColumn("dist", _dist(p))
             .filter(F.col("dist") <= F.lit(guarantee))
         )
         # rank, truncate to k, and decide resolution in ONE pass: a focal is
@@ -246,7 +262,7 @@ def knn_table(
             F.col("y").alias("y_n"),
         )
         cand = left.crossJoin(right).filter(F.col("focal") != F.col("neighbor")).withColumn(
-            "dist", _dist()
+            "dist", _dist(p)
         )
         wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
         resolved_parts.append(
