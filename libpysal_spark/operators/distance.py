@@ -113,14 +113,16 @@ def kernel_weights(
     kernel: str = "gaussian",
     taper: bool = True,
     cell_size: float | None = None,
+    p: float = 2.0,
 ) -> Graph:
     """Kernel weights with fixed bandwidth (reference: graph/_kernel.py:38-261).
 
     Candidates come from the compact-support band join (d <= bandwidth when
     taper=True — the reference's sparse fast path, graph/_kernel.py:189-203);
     the kernel itself is a native SQL expression (functions/kernels.py).
+    ``p``: Minkowski metric order for the distance (reference Kernel ``p``).
     """
-    pairs = candidate_pairs(points, bandwidth, cell_size)
+    pairs = candidate_pairs(points, bandwidth, cell_size, p)
     w = kernel_expr(kernel, F.col("dist"), F.lit(float(bandwidth)), taper=taper)
     edges = pairs.select("focal", "neighbor", w.alias("weight"))
     return Graph(resolve_isolates(edges, points.select("id")))
