@@ -61,6 +61,9 @@ KERNEL_BW = 15.0       # kernel bandwidth on orders points
 CUST_BAND_T = 20.0     # band threshold on customer points (has isolates)
 KNN_K = 5
 PIP_CELL = 4.0
+SRP_PLANES = 4         # SRP-LSH planes per table (embedding_near_dup_srp)
+SRP_TABLES = 6         # SRP-LSH tables
+SRP_SEED = 7
 
 KEYS = {"orders": "o_orderkey", "customer": "c_custkey", "supplier": "s_suppkey"}
 
@@ -864,21 +867,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spatial_matching"] = _matching
 
     # --- embedding near-duplicates (training-data op) ---
+    # Exact all-pairs is tiled into B(B+1)/2 block-pair GEMM tasks (no
+    # CartesianProduct / BroadcastNestedLoopJoin — plan-gated in
+    # tests/test_plans.py) with exact JVM rescoring; see
+    # text/ann.py:cosine_threshold_pairs for why full recall at cosine 0.35
+    # is provably cheaper this way than via any LSH family.
     def _embdup(s, d):
-        emb = _emb(s, d)
-        from libpysal_spark.text.ann import _cosine
+        from libpysal_spark.text.ann import cosine_threshold_pairs
 
-        a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__a"))
-        b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__b"))
-        return (
-            a.join(b, F.col("doc_a") < F.col("doc_b"))
-            .withColumn("cosine", F.round(_cosine("__a", "__b"), 6))
-            .filter(F.col("cosine") > 0.35)
-            .select("doc_a", "doc_b", "cosine")
-            .orderBy("doc_a", "doc_b")
+        return cosine_threshold_pairs(_emb(s, d), threshold=0.35, blocks=8).orderBy(
+            "doc_a", "doc_b"
         )
 
     q["embedding_near_dup"] = _embdup
+
+    # LSH-bucketed variant: SRP candidates (deterministic hash planes,
+    # replayed bit-for-bit by the oracle) + exact rescoring — the scale
+    # shape, with honestly-documented recall at this near-orthogonal
+    # threshold (text/ann.py:srp_threshold_pairs).
+    def _embdup_srp(s, d):
+        from libpysal_spark.text.ann import srp_threshold_pairs
+
+        return srp_threshold_pairs(
+            _emb(s, d), threshold=0.35, num_planes=SRP_PLANES, num_tables=SRP_TABLES
+        ).orderBy("doc_a", "doc_b")
+
+    q["embedding_near_dup_srp"] = _embdup_srp
 
     # --- fuzzy contiguity (weights/util.py:1471) on overlapping diamonds ---
     def _fuzzy(s, d):
@@ -2120,6 +2134,48 @@ scored AS (
           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))
     , 6) AS cosine
   FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, CAST(cosine AS DOUBLE) AS cosine FROM scored
+WHERE cosine > 0.35 ORDER BY doc_a, doc_b"""
+
+    # SRP-LSH candidates replayed bit-for-bit: the pseudo-plane component for
+    # (table t, plane p, dim d) is the SAME hash arithmetic as
+    # text/ann.py:srp_buckets — ((p*1000003 + d*7919 + seed_t)*2654435761 %
+    # 1e6)/5e5 - 1 with seed_t = SRP_SEED + 101*t — so candidate sets (and the
+    # exact-rescored output) are engine-invariant.
+    o["embedding_near_dup_srp"] = f"""
+WITH v AS (SELECT vec_id, embedding, len(embedding) AS dim FROM embeddings),
+tabs AS (SELECT unnest(generate_series(0, {SRP_TABLES - 1})) AS tbl),
+planes AS (SELECT unnest(generate_series(0, {SRP_PLANES - 1})) AS p),
+proj AS (
+  SELECT v.vec_id, tabs.tbl, planes.p,
+    list_aggregate(list_transform(generate_series(1, v.dim),
+      i -> CAST(v.embedding[i] AS DOUBLE) *
+           (CAST(((planes.p*1000003 + (i-1)*7919 + ({SRP_SEED} + 101*tabs.tbl))
+                   * 2654435761) % 1000000 AS DOUBLE)/500000.0 - 1.0)
+    ), 'sum') AS pr
+  FROM v, tabs, planes
+),
+buck AS (
+  SELECT vec_id, tbl,
+    CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+    round(
+      list_aggregate(list_transform(generate_series(1, a.dim),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, a.dim),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, b.dim),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))
+    , 6) AS cosine
+  FROM cand c JOIN v a ON a.vec_id = c.doc_a JOIN v b ON b.vec_id = c.doc_b
 )
 SELECT doc_a, doc_b, CAST(cosine AS DOUBLE) AS cosine FROM scored
 WHERE cosine > 0.35 ORDER BY doc_a, doc_b"""
