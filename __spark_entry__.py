@@ -64,6 +64,7 @@ PIP_CELL = 4.0
 SRP_PLANES = 4         # SRP-LSH planes per table (embedding_near_dup_srp)
 SRP_TABLES = 6         # SRP-LSH tables
 SRP_SEED = 7
+TRI_CELLS = 4          # graded triangulation: partitioned, halo-verified path
 
 KEYS = {"orders": "o_orderkey", "customer": "c_custkey", "supplier": "s_suppkey"}
 
@@ -258,9 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- triangulation family (SURVEY §2.2) ---
-    q["gabriel"] = lambda s, d: _edges_out(gabriel(_points(s, d, "supplier")))
+    q["gabriel"] = lambda s, d: _edges_out(gabriel(_points(s, d, "supplier"), cells_per_side=TRI_CELLS))
     q["relative_neighborhood"] = lambda s, d: _edges_out(
-        relative_neighborhood(_points(s, d, "supplier"))
+        relative_neighborhood(_points(s, d, "supplier"), cells_per_side=TRI_CELLS)
     )
 
     # --- transforms (SURVEY §2.3) ---
@@ -771,18 +772,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- triangulation: Delaunay / Voronoi duality (no SQL oracle — Delaunay
     # is not SQL-expressible; the driver records the weaker rows-only check;
-    # exactness is covered by tests/test_delaunay.py property checks) ---
+    # exactness is covered by tests/test_delaunay.py property checks).
+    # All graded triangulation queries run the PARTITIONED path
+    # (cells_per_side=4) whose halo-sufficiency certificate auto-widens and
+    # retries on violation (operators/delaunay.py:_halo_violation) ---
     def _delaunay(s, d):
         from libpysal_spark.operators.delaunay import delaunay
 
-        return _edges_out(delaunay(_points(s, d, "supplier")))
+        return _edges_out(delaunay(_points(s, d, "supplier"), cells_per_side=TRI_CELLS))
 
     q["delaunay"] = _delaunay
 
     def _voronoi(s, d):
         from libpysal_spark.operators.delaunay import voronoi_weights
 
-        return _edges_out(voronoi_weights(_points(s, d, "supplier")))
+        return _edges_out(voronoi_weights(_points(s, d, "supplier"), cells_per_side=TRI_CELLS))
 
     q["voronoi"] = _voronoi
 
@@ -795,7 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from libpysal_spark.operators.delaunay import delaunay, delaunay_triangles
 
         pts = _points(s, d, "supplier")
-        g = delaunay(pts)
+        g = delaunay(pts, cells_per_side=TRI_CELLS)
         e_und = (
             g.edges.filter(
                 ~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
@@ -803,7 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("focal") < F.col("neighbor"))
             .agg(F.count("*").alias("n_edges"))
         )
-        tri = delaunay_triangles(pts).agg(F.count("*").alias("n_triangles"))
+        tri = delaunay_triangles(pts, cells_per_side=TRI_CELLS).agg(F.count("*").alias("n_triangles"))
         n = pts.agg(F.count("*").alias("n"))
         return (
             n.crossJoin(e_und)
@@ -820,7 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _voronoi_clipped(s, d):
         from libpysal_spark.operators.delaunay import voronoi_weights
 
-        return _edges_out(voronoi_weights(_points(s, d, "supplier"), clip="extent"))
+        return _edges_out(voronoi_weights(_points(s, d, "supplier"), cells_per_side=TRI_CELLS, clip="extent"))
 
     q["voronoi_clipped"] = _voronoi_clipped
 
@@ -830,7 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant of the whole polygon pipeline
         from libpysal_spark.operators.delaunay import voronoi_polygons
 
-        cells = voronoi_polygons(_points(s, d, "supplier"), clip="extent")
+        cells = voronoi_polygons(_points(s, d, "supplier"), cells_per_side=TRI_CELLS, clip="extent")
         pairs = F.arrays_zip(
             F.slice("vertices", 1, F.size("vertices") - 1).alias("p"),
             F.slice("vertices", 2, F.size("vertices") - 1).alias("q"),
@@ -852,7 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _alpha(s, d):
         from libpysal_spark.operators.delaunay import alpha_shape_edges
 
-        return alpha_shape_edges(_points(s, d, "supplier"), alpha=0.02).orderBy(
+        return alpha_shape_edges(_points(s, d, "supplier"), alpha=0.02, cells_per_side=TRI_CELLS).orderBy(
             "focal", "neighbor"
         )
 
