@@ -368,6 +368,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lag_categorical_tryself"] = _lag_cat_tryself
 
+    def _lag_cat_random(s, d):
+        # reference-default 'random' tie policy, seeded + md5-replayable
+        # (the oracle replays the identical draw) — VERDICT r2 next-round #6
+        g = distance_band(_points(s, d, "orders"), BAND_T)
+        y = s.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("y")
+        )
+        return g.lag_categorical(y, ties="random", seed=7).orderBy("id")
+
+    q["lag_categorical_random"] = _lag_cat_random
+
     def _describe(s, d):
         g = distance_band(_points(s, d, "orders"), BAND_T)
         y = s.read.parquet(f"{d}/orders.parquet").select(
@@ -1019,6 +1030,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contiguity_order"] = _order
 
+    # --- exact Shimbel table: BFS run to frontier emptiness on an 8x8 rook
+    # lattice keyed off the customer table (weights/util.py:610-659) ---
+    def _shimbel(s, d):
+        from libpysal_spark.operators.lattice import lat2w
+
+        n = s.read.parquet(f"{d}/customer.parquet").count()
+        side = min(8, int(n ** 0.5))
+        g = lat2w(s, side, side, "rook")
+        return (
+            g.shimbel()
+            .select("focal", "neighbor", F.col("order").cast("int").alias("order"))
+            .orderBy("focal", "neighbor")
+        )
+
+    q["shimbel"] = _shimbel
+
     # --- dense id mapping (WSP bridge, weights/weights.py:28 _LabelEncoder) ---
     def _dense(s, d):
         g = distance_band(_points(s, d, "customer"), CUST_BAND_T)
@@ -1336,11 +1363,39 @@ SELECT focal AS id, cat AS lag FROM (
   FROM counts
 ) WHERE rk = 1 ORDER BY id"""
 
+    o["lag_categorical_random"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+alle AS (
+  SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS w FROM e
+  UNION ALL
+  SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+),
+counts AS (
+  SELECT alle.focal, y.o_orderpriority AS cat, sum(alle.w) AS cnt
+  FROM alle JOIN orders y ON alle.neighbor = y.o_orderkey
+  WHERE NOT (alle.focal = alle.neighbor AND alle.w = 0.0)
+  GROUP BY 1, 2
+)
+SELECT focal AS id, cat AS lag FROM (
+  SELECT focal, cat, row_number() OVER (PARTITION BY focal ORDER BY cnt DESC,
+    md5(concat(CAST(focal AS VARCHAR), '|', cat, '|', '7')) ASC, cat ASC) AS rk
+  FROM counts
+) WHERE rk = 1 ORDER BY id"""
+
     o["lag_categorical_tryself"] = f"""
 WITH {_band_cte('orders', BAND_T)},
-counts AS (
+ncounts AS (
   SELECT e.focal, y.o_orderpriority AS cat, CAST(count(*) AS DOUBLE) AS cnt
   FROM e JOIN orders y ON e.neighbor = y.o_orderkey
+  GROUP BY 1, 2
+),
+zeroself AS (
+  SELECT DISTINCT e.focal, sc.o_orderpriority AS cat, CAST(0.0 AS DOUBLE) AS cnt
+  FROM e JOIN orders sc ON sc.o_orderkey = e.focal
+),
+counts AS (
+  SELECT focal, cat, sum(cnt) AS cnt
+  FROM (SELECT * FROM ncounts UNION ALL SELECT * FROM zeroself)
   GROUP BY 1, 2
 ),
 withmax AS (
@@ -2354,6 +2409,27 @@ SELECT focal, neighbor, CAST(1 AS INT) AS "order" FROM e
 UNION ALL SELECT focal, neighbor, CAST(2 AS INT) FROM o2
 UNION ALL SELECT focal, neighbor, CAST(3 AS INT) FROM o3
 ORDER BY focal, neighbor"""
+
+    o["shimbel"] = """
+WITH RECURSIVE
+s AS (SELECT LEAST(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS side FROM customer),
+xy AS (
+  SELECT i AS id, i // (SELECT side FROM s) AS r, i % (SELECT side FROM s) AS c
+  FROM (SELECT unnest(generate_series(0, (SELECT side*side FROM s) - 1)) AS i)
+),
+e AS (
+  SELECT a.id AS focal, b.id AS neighbor FROM xy a JOIN xy b
+    ON abs(a.r-b.r) + abs(a.c-b.c) = 1
+),
+walk(focal, neighbor, ord) AS (
+  SELECT focal, neighbor, 1 FROM e
+  UNION
+  SELECT w.focal, e.neighbor, w.ord + 1
+  FROM walk w JOIN e ON e.focal = w.neighbor
+  WHERE w.focal <> e.neighbor AND w.ord < 2 * (SELECT side FROM s)
+)
+SELECT focal, neighbor, CAST(min(ord) AS INT) AS "order"
+FROM walk GROUP BY focal, neighbor ORDER BY focal, neighbor"""
 
     o["dense_id_mapping"] = """
 SELECT c_custkey AS old,

@@ -423,13 +423,20 @@ class Graph:
         e = out.withColumn("weight", F.lit(1.0))
         return Graph(resolve_isolates(e, self._ids()))
 
-    def order_table(self, kmax: int = 3) -> DataFrame:
+    def order_table(self, kmax: int | None = 3) -> DataFrame:
         """(focal, neighbor, order) — contiguity order up to kmax per pair.
 
         Reference: weights/util.py:339-397 ``order`` / :610-659 ``shimbel``
-        (BFS per node). Distributed form: kmax rounds of frontier hash joins;
+        (BFS per node). Distributed form: BFS rounds of frontier hash joins;
         round k's frontier is anti-joined against everything reached earlier,
         so each pair appears once at its shortest-path order.
+
+        ``kmax=None`` runs to frontier exhaustion — the exact Shimbel table
+        (all-pairs shortest contiguity orders; O(n²) OUTPUT, so meant for
+        graphs whose pair table fits the cluster, like the reference's
+        in-memory shimbel). One tiny count job per round checks emptiness;
+        every round's frontier is localCheckpoint'ed, keeping lineage flat
+        at any diameter.
         """
         base = (
             _real_edges(self.edges)
@@ -439,7 +446,8 @@ class Graph:
         )
         reached = base.withColumn("order", F.lit(1))
         frontier = base
-        for k in range(2, kmax + 1):
+        k = 2
+        while kmax is None or k <= kmax:
             step = base.select(
                 F.col("focal").alias("__mid"), F.col("neighbor").alias("neighbor")
             )
@@ -452,9 +460,17 @@ class Graph:
                 .join(reached.select("focal", "neighbor"), ["focal", "neighbor"], "left_anti")
                 .localCheckpoint()
             )
+            if kmax is None and nxt.count() == 0:
+                break
             reached = reached.unionByName(nxt.withColumn("order", F.lit(k)))
             frontier = nxt
+            k += 1
         return reached
+
+    def shimbel(self) -> DataFrame:
+        """Exact all-pairs contiguity orders (reference weights/util.py:610-659
+        ``shimbel``): :meth:`order_table` run to frontier emptiness."""
+        return self.order_table(kmax=None)
 
     def dense_id_mapping(self) -> DataFrame:
         """(old, new) mapping to contiguous 0..n-1 ids, ordered by old id.
@@ -525,16 +541,33 @@ class Graph:
             .agg(*aggs)
         )
 
-    def lag_categorical(self, y: DataFrame, value_col: str = "y", ties: str = "lowest") -> DataFrame:
+    def lag_categorical(
+        self,
+        y: DataFrame,
+        value_col: str = "y",
+        ties: str = "lowest",
+        seed: int = 7,
+    ) -> DataFrame:
         """Modal neighbor category weighted by w (weights/spatial_lag.py:91-240).
 
-        Tie policies: 'lowest' / 'highest' / 'tryself'. 'tryself' mirrors
-        the reference default (_resolve_ties, spatial_lag.py:243-310): when
-        the max tally is tied, the focal's OWN category gets a bonus equal to
-        the mean neighbor weight, then the winner is re-picked — with the
-        residual tie resolved to the LOWEST label instead of the reference's
-        RNG (determinism pin: cluster-size-invariant output is a north_rule
-        requirement, so the 'random' policy is deliberately not offered).
+        Tie policies (reference ``_resolve_ties``, spatial_lag.py:183-310 and
+        graph/base.py:2357):
+
+        - 'lowest' / 'highest': deterministic label order.
+        - 'tryself': when the max tally is tied, the focal's OWN category
+          gets a bonus equal to the mean neighbor weight, then the winner is
+          re-picked. The self slot is bumped EVEN WHEN the focal's category
+          is absent among its neighbors (a zero tally-slot, matching the
+          reference's dense tally vector) — so a large mean weight can let
+          the self category join or win the tie.
+        - 'random': the reference default's RNG draw, made replayable — the
+          tied winner is the minimum md5(focal|category|seed), the same
+          portable-hash trick as knn_jitter (operators/distance.py), so the
+          draw is identical across engines and cluster sizes (north_rule).
+        - 'raise': error out when any neighborhood has a tied max tally
+          (reference graph/base.py:2357 default).
+
+        Residual ties after any policy resolve to the lowest label.
         """
         yn = y.select(F.col("id").alias("neighbor"), F.col(value_col).alias("__cat"))
         e = _real_edges(self.edges)
@@ -544,12 +577,25 @@ class Graph:
             .agg(F.sum("weight").alias("__cnt"))
         )
         if ties == "tryself":
+            # dense tally: a zero slot for the focal's own category competes
+            # too (union before the bonus, then re-aggregate)
+            selfcat = y.select(F.col("id").alias("focal"), F.col(value_col).alias("__self"))
+            zero_self = (
+                e.select("focal")
+                .distinct()
+                .join(selfcat, "focal")
+                .select("focal", F.col("__self").alias("__cat"), F.lit(0.0).alias("__cnt"))
+            )
+            counts = (
+                counts.unionByName(zero_self)
+                .groupBy("focal", "__cat")
+                .agg(F.sum("__cnt").alias("__cnt"))
+            )
             wf = Window.partitionBy("focal")
             counts = counts.withColumn("__mx", F.max("__cnt").over(wf)).withColumn(
                 "__ntied",
                 F.sum(F.when(F.col("__cnt") == F.col("__mx"), 1).otherwise(0)).over(wf),
             )
-            selfcat = y.select(F.col("id").alias("focal"), F.col(value_col).alias("__self"))
             meanw = e.groupBy("focal").agg(F.avg("weight").alias("__mw"))
             counts = (
                 counts.join(selfcat, "focal", "left")
@@ -563,6 +609,33 @@ class Graph:
                     ).otherwise(0.0),
                 )
             )
+            order = [F.col("__cnt").desc(), F.col("__cat").asc()]
+        elif ties == "random":
+            draw = F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("focal").cast("string"),
+                    F.col("__cat").cast("string"),
+                    F.lit(str(seed)),
+                )
+            )
+            order = [F.col("__cnt").desc(), draw.asc(), F.col("__cat").asc()]
+        elif ties == "raise":
+            wf = Window.partitionBy("focal")
+            tied = (
+                counts.withColumn("__mx", F.max("__cnt").over(wf))
+                .withColumn(
+                    "__ntied",
+                    F.sum(F.when(F.col("__cnt") == F.col("__mx"), 1).otherwise(0)).over(wf),
+                )
+                .filter(F.col("__ntied") > 1)
+                .count()
+            )
+            if tied:
+                raise ValueError(
+                    f"lag_categorical(ties='raise'): {tied} tied tally rows — "
+                    "pick an explicit tie policy"
+                )
             order = [F.col("__cnt").desc(), F.col("__cat").asc()]
         else:
             order = [

@@ -237,3 +237,42 @@ def test_from_adjacency(spark):
     g = Graph.from_adjacency(adj, weight_col="cost")
     w = {(r.focal, r.neighbor): r.weight for r in g.edges.collect()}
     assert w == {(0, 1): 2.5, (1, 0): 2.5, (2, 2): 0.0}  # self-loop -> isolate
+
+
+def test_lag_categorical_tryself_absent_self_category_competes(spark):
+    """ADVICE r2: the reference bumps the focal's tally slot even from ZERO —
+    an absent-from-neighbors self category gets the mean-weight bonus and can
+    JOIN the tie (then win on label order). The pre-fix code only bonused
+    categories already present among neighbors, so focal 0 returned 'b'."""
+    edges = spark.createDataFrame(
+        [(0, 1, 4.0), (0, 2, 4.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "focal long, neighbor long, weight double",
+    )
+    g = Graph(edges)
+    # focal 0's neighbors are categories b and c (tally 4.0 each — tied);
+    # its own category 'a' is absent: zero slot + mean weight 4.0 = 4.0 →
+    # three-way tie → lowest label 'a' wins
+    y = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "id long, y string")
+    lag = {r.id: r.lag for r in g.lag_categorical(y, ties="tryself").collect()}
+    assert lag[0] == "a"
+
+
+def test_lag_categorical_random_is_seed_stable(spark):
+    g = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
+    y = spark.createDataFrame([(0, "x"), (1, "a"), (2, "b")], "id long, y string")
+    one = {r.id: r.lag for r in g.lag_categorical(y, ties="random", seed=3).collect()}
+    two = {r.id: r.lag for r in g.lag_categorical(y, ties="random", seed=3).collect()}
+    assert one == two
+    assert one[0] in {"a", "b"}
+
+
+def test_lag_categorical_raise_on_tie(spark):
+    import pytest as _pytest
+
+    g = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
+    y = spark.createDataFrame([(0, "x"), (1, "a"), (2, "b")], "id long, y string")
+    with _pytest.raises(ValueError, match="tie"):
+        g.lag_categorical(y, ties="raise")
+    # no tie -> fine
+    y2 = spark.createDataFrame([(0, "x"), (1, "a"), (2, "a")], "id long, y string")
+    assert g.lag_categorical(y2, ties="raise").count() == 3
