@@ -176,6 +176,7 @@ def arc_distance_band(
     chord_t = arcdist_to_chord(float(threshold), float(radius))
     s = float(cell_deg or max(t_deg, 1e-9))
     nlon = max(int(-(-360.0 // s)), 1)
+    s = 360.0 / nlon  # even lon tiling — see arc_knn (ADVICE r2 wrap fix)
     wlat = max(int(-(-t_deg // s)), 1)
 
     pts = with_xyz(points.select("id", F.col(lon).alias("lon"), F.col(lat).alias("lat")))
@@ -263,6 +264,12 @@ def arc_knn(points: DataFrame, k: int, lon: str = "lon", lat: str = "lat",
         cell_deg = max(1.6 * math.sqrt((k + 1) * area_deg2 / (math.pi * max(n, 1))), 1e-6)
     s = float(cell_deg)
     nlon = max(int(-(-360.0 // s)), 1)
+    # ADVICE r2: cells must tile the circle EVENLY — with a ragged final
+    # wrap cell (360/s non-integral) a cyclic cell distance of r+1 across
+    # the antimeridian can correspond to a lon gap < r·s, breaking the
+    # ring-resolution guarantee near the wrap. Shrinking s to 360/nlon
+    # keeps the guarantee exact (g uses the SAME s as the grid).
+    s = 360.0 / nlon
 
     cx = F.pmod(F.floor((F.col("lon") + 180.0) / F.lit(s)), F.lit(nlon))
     cy = F.floor((F.col("lat") + 90.0) / F.lit(s))

@@ -892,10 +892,20 @@ class Graph:
             # the small-star job (lineage depth stays bounded at 2 stars)
             e2 = star(star(e, large=True), large=False).localCheckpoint()
             cur = _sig(e2)
-            e.unpersist()
-            e = e2
             if cur == prev:
-                break
+                # exact confirmation, only at apparent convergence (ADVICE
+                # r2): a hash collision or oscillating intermediate state
+                # must not end the loop silently. Counts already match, so
+                # ONE empty exceptAll direction proves set equality — a
+                # single extra job on the final (smallest) edge set.
+                exact = e2.exceptAll(e).limit(1).count() == 0
+                e.unpersist()
+                e = e2
+                if exact:
+                    break
+            else:
+                e.unpersist()
+                e = e2
             prev = cur
         # converged edge set is a union of stars (child -> root)
         roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))

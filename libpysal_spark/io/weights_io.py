@@ -106,16 +106,27 @@ def read_mtx(spark: SparkSession, path: str) -> Graph:
 
 
 def write_mtx(g: Graph, path: str, comment: str = "written by libpysal_spark") -> None:
-    """MatrixMarket coordinate writer (1-based, real general)."""
+    """MatrixMarket coordinate writer (1-based, real general).
+
+    Ids are DENSIFIED to the 0-based WSP index before writing (the same
+    label-encoding the reference's WSP bridge applies, weights/weights.py:28
+    ``_LabelEncoder``): MatrixMarket indices must lie in [1, rows], so
+    arbitrary ids (e.g. custkeys) are rank-mapped; read_mtx reconstructs the
+    dense universe. Round-tripping therefore preserves structure + weights
+    under the order-preserving id relabeling, exactly like the reference's
+    WSP→mtx path (ADVICE r2: raw id+1 produced invalid files for non-dense
+    ids)."""
     pdf = g.sorted().toPandas()
     real = pdf[~((pdf.focal == pdf.neighbor) & (pdf.weight == 0.0))]
-    n = int(pdf["focal"].nunique())
+    ids = sorted(set(pdf["focal"]) | set(pdf["neighbor"]))
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"% {comment}\n")
         f.write(f"{n} {n} {len(real)}\n")
         for fo, ne, w in real.itertuples(index=False):
-            f.write(f"{int(fo) + 1} {int(ne) + 1} {w}\n")
+            f.write(f"{idx[fo] + 1} {idx[ne] + 1} {w}\n")
 
 
 def write_parquet(g: Graph, path: str, partition_cols: list[str] | None = None) -> None:

@@ -205,3 +205,28 @@ def test_w_clip_and_remap(spark):
     mapping = spark.createDataFrame([(0, 100), (1, 101), (2, 102)], "old long, new long")
     remapped = _nbrs(a.remap_ids(mapping))
     assert remapped[100] == {101, 102}
+
+
+def test_write_mtx_densifies_non_dense_ids(spark, tmp_path):
+    """ADVICE r2: sparse ids (custkey-like) must be rank-mapped so the file's
+    declared dims bound every written index; round-trip preserves structure
+    under the order-preserving relabeling."""
+    from libpysal_spark.graph import Graph, resolve_isolates
+    from libpysal_spark.io.weights_io import read_mtx, write_mtx
+
+    edges = spark.createDataFrame(
+        [(100, 907, 2.0), (907, 100, 2.0), (907, 5000, 1.0), (5000, 907, 1.0)],
+        "focal long, neighbor long, weight double",
+    )
+    ids = spark.createDataFrame([(100,), (907,), (5000,)], "id long")
+    g = Graph(resolve_isolates(edges, ids))
+    path = str(tmp_path / "w.mtx")
+    write_mtx(g, path)
+    header = [ln for ln in open(path) if not ln.startswith("%")][0].split()
+    rows, cols, nnz = map(int, header)
+    assert (rows, cols, nnz) == (3, 3, 4)
+    body = [ln.split() for ln in open(path) if not ln.startswith("%")][1:]
+    assert all(1 <= int(i) <= rows and 1 <= int(j) <= cols for i, j, _ in body)
+    g2 = read_mtx(spark, path)
+    got = sorted(map(tuple, g2.edges.filter("weight > 0").collect()))
+    assert got == [(0, 1, 2.0), (1, 0, 2.0), (1, 2, 1.0), (2, 1, 1.0)]
