@@ -331,6 +331,99 @@ class Graph:
         a, b = self.edges, other.edges
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
+    def isomorphic(self, other: "Graph", max_nodes: int = 256) -> bool:
+        """Exact structural isomorphism for small graphs.
+
+        Reference graph/_set_ops.py:187-207 delegates to networkx
+        (could_be_isomorphic screens + VF2); no networkx in this env, so a
+        from-scratch exact matcher: iterated 1-WL color refinement as the
+        invariant screen (strictly stronger than the reference's degree/triad
+        screens), then a backtracking search that maps nodes in smallest-
+        color-class-first order with adjacency-consistency pruning. Matches
+        the reference's semantics: the unweighted (binary) adjacency pattern,
+        direction-aware. Driver-side by design — isomorphism is a whole-graph
+        decision used on test-sized graphs; ``max_nodes`` guards the collect.
+        """
+
+        def load(g: "Graph"):
+            rows = (
+                _real_edges(g.edges).select("focal", "neighbor").distinct().collect()
+            )
+            ids = {r.id for r in g._ids().collect()}
+            out: dict = {i: set() for i in ids}
+            inn: dict = {i: set() for i in ids}
+            for r in rows:
+                out.setdefault(r.focal, set()).add(r.neighbor)
+                inn.setdefault(r.neighbor, set()).add(r.focal)
+                ids.add(r.focal)
+                ids.add(r.neighbor)
+            return ids, out, inn
+
+        ids_a, out_a, in_a = load(self)
+        ids_b, out_b, in_b = load(other)
+        if len(ids_a) != len(ids_b):
+            return False
+        if len(ids_a) > max_nodes:
+            raise ValueError(
+                f"isomorphic() is driver-side and capped at {max_nodes} nodes"
+            )
+
+        def refine(ids, out, inn):
+            color = {i: 0 for i in ids}
+            for _ in range(len(ids)):
+                sig = {
+                    i: (
+                        color[i],
+                        tuple(sorted(color[j] for j in out.get(i, ()))),
+                        tuple(sorted(color[j] for j in inn.get(i, ()))),
+                    )
+                    for i in ids
+                }
+                palette = {s: c for c, s in enumerate(sorted(set(sig.values())))}
+                new = {i: palette[sig[i]] for i in ids}
+                if len(set(new.values())) == len(set(color.values())):
+                    return new
+                color = new
+            return color
+
+        ca = refine(ids_a, out_a, in_a)
+        cb = refine(ids_b, out_b, in_b)
+        from collections import Counter
+
+        if Counter(ca.values()) != Counter(cb.values()):
+            return False
+
+        by_color_b: dict = {}
+        for i, c in cb.items():
+            by_color_b.setdefault(c, []).append(i)
+        order = sorted(ids_a, key=lambda i: (len(by_color_b[ca[i]]), ca[i], i))
+        mapping: dict = {}
+        used: set = set()
+
+        def ok(u, v):
+            for w, x in mapping.items():
+                if (w in out_a.get(u, ())) != (x in out_b.get(v, ())):
+                    return False
+                if (u in out_a.get(w, ())) != (v in out_b.get(x, ())):
+                    return False
+            return True
+
+        def search(k: int) -> bool:
+            if k == len(order):
+                return True
+            u = order[k]
+            for v in by_color_b[ca[u]]:
+                if v not in used and ok(u, v):
+                    mapping[u] = v
+                    used.add(v)
+                    if search(k + 1):
+                        return True
+                    del mapping[u]
+                    used.discard(v)
+            return False
+
+        return search(0)
+
     def subgraph(self, ids: DataFrame) -> "Graph":
         """Restrict to an id subset; isolates re-encoded (graph/base.py:2708-2770).
 

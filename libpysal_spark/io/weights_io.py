@@ -147,3 +147,110 @@ def read_parquet(spark: SparkSession, path: str) -> Graph:
     if os.path.exists(meta_path):
         transformation = json.load(open(meta_path)).get("transformation", "O")
     return Graph(edges, transformation)
+
+
+def read_swm(spark: SparkSession, path: str) -> Graph:
+    """ArcGIS ``.swm`` reader (reference: io/iohandlers/arcgis_swm.py:46-238).
+
+    Public ESRI binary layout: one ASCII header line — legacy
+    ``<ID_VAR>;<SRS>`` or the 10.1+ ``KEY@VALUE;...`` form (``UNIQUEID``,
+    ``SPATIALREFNAME``, optional ``FIXEDWEIGHTS``) — then little-endian:
+    int32 n_obs, int32 row_std, and per observation: int32 org, int32 nn,
+    nn×int32 neighbor ids, the weights (nn×float64, or ONE float64 applied
+    to all neighbors when FIXEDWEIGHTS@TRUE) and a float64 stored weight
+    sum (skipped — derivable). Weights files are metadata-sized, so the
+    parse is driver-side into the edge DataFrame; ``row_std`` lands in the
+    Graph's transformation tag.
+    """
+    import struct
+
+    rows: list[tuple[int, int, float]] = []
+    ids: list[int] = []
+    with open(path, "rb") as f:
+        header = f.readline().decode().strip()
+        fixed = False
+        if header.upper().startswith("VERSION@"):
+            hd = dict(
+                item.split("@", 1) for item in header.split(";") if "@" in item
+            )
+            fixed = hd.get("FIXEDWEIGHTS", "").strip().upper() == "TRUE"
+        n_obs, row_std = struct.unpack("<2l", f.read(8))
+        for _ in range(n_obs):
+            org, nn = struct.unpack("<2l", f.read(8))
+            ids.append(org)
+            if nn > 0:
+                nbrs = struct.unpack(f"<{nn}l", f.read(4 * nn))
+                if fixed:
+                    w = struct.unpack("<d", f.read(8))[0]
+                    ws = [w] * nn
+                else:
+                    ws = struct.unpack(f"<{nn}d", f.read(8 * nn))
+                f.read(8)  # stored weight sum
+                rows.extend((org, d, float(w)) for d, w in zip(nbrs, ws))
+    edges = spark.createDataFrame(
+        rows or [], "focal long, neighbor long, weight double"
+    )
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return Graph(
+        resolve_isolates(edges, ids_df),
+        transformation="R" if row_std == 1 else "O",
+    )
+
+
+def write_swm(g: Graph, path: str, id_var: str = "ID", srs: str = "Unknown") -> None:
+    """ArcGIS ``.swm`` writer (legacy header form, variable weights).
+
+    Ids must fit int32 (the ArcGIS constraint — the reference's
+    ``useIdIndex`` remap is the caller's job here: densify with
+    ``Graph.dense_id_mapping()`` + ``remap_ids`` first if they don't).
+    """
+    import struct
+
+    pdf = g.sorted().toPandas()
+    real = pdf[~((pdf.focal == pdf.neighbor) & (pdf.weight == 0.0))]
+    ids = sorted(set(pdf["focal"]))
+    if ids and (min(ids) < -(2**31) or max(ids) >= 2**31):
+        raise ValueError("swm ids must fit int32 — remap_ids first")
+    by_focal = {k: v for k, v in real.groupby("focal")}
+    row_std = 1 if g.transformation == "R" else 0
+    with open(path, "wb") as f:
+        f.write(f"{id_var};{srs}\n".encode())
+        f.write(struct.pack("<2l", len(ids), row_std))
+        for org in ids:
+            sub = by_focal.get(org)
+            nn = 0 if sub is None else len(sub)
+            f.write(struct.pack("<2l", int(org), nn))
+            if nn:
+                f.write(struct.pack(f"<{nn}l", *(int(v) for v in sub.neighbor)))
+                f.write(struct.pack(f"<{nn}d", *(float(v) for v in sub.weight)))
+                f.write(struct.pack("<d", float(sub.weight.sum())))
+
+
+def read_dat(spark: SparkSession, path: str) -> Graph:
+    """``.dat`` reader (reference: io/iohandlers/dat.py — LeSage MatLab Econ
+    format): headerless ``origin destination weight`` triplets, ids are
+    1-based record numbers. Same driver-side triplet parse as GWT, minus the
+    header."""
+    rows = []
+    for ln in open(path):
+        ln = ln.strip()
+        if not ln:
+            continue
+        a, b, w = ln.split()
+        rows.append((int(float(a)), int(float(b)), float(w)))
+    edges = spark.createDataFrame(rows or [], "focal long, neighbor long, weight double")
+    ids = (
+        edges.select(F.col("focal").alias("id"))
+        .unionByName(edges.select(F.col("neighbor").alias("id")))
+        .distinct()
+    )
+    return Graph(resolve_isolates(edges, ids))
+
+
+def write_dat(g: Graph, path: str) -> None:
+    """``.dat`` writer: headerless triplets, canonical order."""
+    pdf = g.sorted().toPandas()
+    real = pdf[~((pdf.focal == pdf.neighbor) & (pdf.weight == 0.0))]
+    with open(path, "w") as f:
+        for fo, ne, w in real.itertuples(index=False):
+            f.write(f"{int(fo)} {int(ne)} {w}\n")

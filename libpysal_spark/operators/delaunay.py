@@ -209,37 +209,45 @@ def _grid_params(points: DataFrame, cells_per_side: int) -> _GridParams:
     return _GridParams(float(b.x0), float(b.x1), float(b.y0), float(b.y1), sx, sy)
 
 
-def _halo_violation(p: _GridParams, cells_per_side: int, halo: int) -> F.Column:
-    """Boolean Column over (cell, ccx, ccy, r2): the circumdisk's bbox-clipped
-    extent is NOT strictly inside the cell's shipped (cell+halo) rectangle.
+def _halo_need(p: _GridParams, cells_per_side: int) -> F.Column:
+    """Column over (cell, ccx, ccy, r2): the halo width (in cells, fractional)
+    this triangle's circumdisk REQUIRES of its emitting cell.
 
-    This is the soundness certificate for partitioned Delaunay: a circumdisk
-    whose bbox-intersection lies strictly inside the shipped region is
-    verifiably empty of ALL global points (every point in that region was
-    shipped), so the triangle is globally Delaunay; conversely a missing true
-    triangle forces a locally-Delaunay-but-globally-false replacement whose
-    disk must reach a non-shipped point, which this predicate flags. Checked
-    over every local triangle incident to an OWNED vertex (not just emitted
-    ones), so both error directions are caught. Conservative: uses the
-    disk's bounding box, never under-reports.
+    This drives the soundness certificate for partitioned Delaunay: a
+    circumdisk whose bbox-clipped extent lies strictly inside the shipped
+    (cell+halo) rectangle is verifiably empty of ALL global points (every
+    point in that region was shipped), so the triangle is globally Delaunay;
+    conversely a missing true triangle forces a locally-Delaunay-but-
+    globally-false replacement whose disk must reach a non-shipped point —
+    flagged because its need exceeds the halo. Clamping the disk extent to
+    the global bbox makes overreach past a bbox edge cost nothing (no points
+    live there), which also zeroes the requirement at boundary cells'
+    outward sides. Conservative: uses the disk's bounding box.
     """
-    eps = 1e-12 * max(p.x1 - p.x0, p.y1 - p.y0, 1.0)
     cxi = F.floor(F.col("cell") / cells_per_side)
     cyi = F.col("cell") % cells_per_side
     r = F.sqrt(F.greatest(F.col("r2"), F.lit(0.0)))
 
     def axis(ci, s, lo, hi, cc):
-        r0 = F.greatest(F.lit(lo) + (ci - halo) * s, F.lit(lo))
-        r1 = F.least(F.lit(lo) + (ci + 1 + halo) * s, F.lit(hi))
         dlo = F.greatest(cc - r, F.lit(lo))
         dhi = F.least(cc + r, F.lit(hi))
-        return ((dlo <= r0 + eps) & (r0 > F.lit(lo))) | (
-            (dhi >= r1 - eps) & (r1 < F.lit(hi))
+        return F.greatest(
+            (F.lit(lo) + ci * s - dlo) / F.lit(s),
+            (dhi - F.lit(lo) - (ci + 1) * s) / F.lit(s),
         )
 
-    return axis(cxi, p.sx, p.x0, p.x1, F.col("ccx")) | axis(
-        cyi, p.sy, p.y0, p.y1, F.col("ccy")
+    return F.greatest(
+        axis(cxi, p.sx, p.x0, p.x1, F.col("ccx")),
+        axis(cyi, p.sy, p.y0, p.y1, F.col("ccy")),
+        F.lit(0.0),
     )
+
+
+def _halo_violation(p: _GridParams, cells_per_side: int, halo: int) -> F.Column:
+    """Boolean certificate check: the disk needs at least the current halo
+    (strict interior containment fails). See :func:`_halo_need`."""
+    eps = 1e-9
+    return _halo_need(p, cells_per_side) >= F.lit(float(halo) - eps)
 
 
 CELL_TRIANGLE_SCHEMA = (
@@ -422,6 +430,8 @@ def delaunay_triangles(
         ct = tagged.groupBy("cell").applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
         return ct.drop("cell", "emit").distinct()
 
+    import math
+
     params = _grid_params(points.select("id", "x", "y"), cells_per_side)
     halo = max(1, halo_cells)
     while True:
@@ -429,17 +439,20 @@ def delaunay_triangles(
         ct = (
             tagged.groupBy("cell")
             .applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
-            .withColumn("__viol", _halo_violation(params, cells_per_side, halo))
-            .localCheckpoint()  # reused by the count below AND downstream; GC-reclaimed
+            .withColumn("__need", _halo_need(params, cells_per_side))
+            .localCheckpoint()  # reused by the agg below AND downstream; GC-reclaimed
         )
         if halo >= cells_per_side:
             break  # full-grid halo: exact by construction
         if not verify_halo:
             break
-        if ct.filter(F.col("__viol")).count() == 0:
+        need = ct.agg(F.max("__need")).first()[0] or 0.0
+        if need < halo - 1e-9:
             break
-        halo += 1  # certificate failed somewhere: widen and retry
-    return ct.filter(F.col("emit")).drop("cell", "emit", "__viol").distinct()
+        # certificate failed somewhere: jump straight to the halo the worst
+        # disk requires (one retry instead of a +1 ladder)
+        halo = min(cells_per_side, max(halo + 1, math.floor(need) + 1))
+    return ct.filter(F.col("emit")).drop("cell", "emit", "__need").distinct()
 
 
 def alpha_shape_triangles(points: DataFrame, alpha: float, cells_per_side: int = 1) -> DataFrame:

@@ -276,3 +276,32 @@ def test_lag_categorical_raise_on_tie(spark):
     # no tie -> fine
     y2 = spark.createDataFrame([(0, "x"), (1, "a"), (2, "a")], "id long, y string")
     assert g.lag_categorical(y2, ties="raise").count() == 3
+
+
+def test_isomorphic(spark):
+    """Reference _set_ops.isomorphic semantics on small graphs: relabeled
+    cycle == cycle; cycle != path; refinement-equal but structure-different
+    pairs resolved by the backtracking stage."""
+    def ring(ids):
+        n = len(ids)
+        d = {ids[i]: [ids[(i - 1) % n], ids[(i + 1) % n]] for i in range(n)}
+        return Graph.from_dicts(spark, d)
+
+    c1 = ring([0, 1, 2, 3])
+    c2 = ring([10, 30, 20, 40])  # relabeled 4-cycle
+    path = Graph.from_dicts(spark, {0: [1], 1: [0, 2], 2: [1, 3], 3: [2]})
+    assert c1.isomorphic(c2)
+    assert not c1.isomorphic(path)
+    # same degree sequence, different structure: C6 vs two C3s
+    c6 = ring([0, 1, 2, 3, 4, 5])
+    c33 = Graph.from_dicts(
+        spark,
+        {0: [1, 2], 1: [0, 2], 2: [0, 1], 3: [4, 5], 4: [3, 5], 5: [3, 4]},
+    )
+    assert not c6.isomorphic(c33)
+    assert c33.isomorphic(
+        Graph.from_dicts(
+            spark,
+            {7: [8, 9], 8: [7, 9], 9: [7, 8], 1: [2, 3], 2: [1, 3], 3: [1, 2]},
+        )
+    )

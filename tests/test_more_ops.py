@@ -230,3 +230,61 @@ def test_write_mtx_densifies_non_dense_ids(spark, tmp_path):
     g2 = read_mtx(spark, path)
     got = sorted(map(tuple, g2.edges.filter("weight > 0").collect()))
     assert got == [(0, 1, 2.0), (1, 0, 2.0), (1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_swm_round_trip_with_isolates(spark, tmp_path):
+    from libpysal_spark.graph import Graph, resolve_isolates
+    from libpysal_spark.io.weights_io import read_swm, write_swm
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5), (2, 3, 1.5), (3, 2, 1.5)],
+        "focal long, neighbor long, weight double",
+    )
+    ids = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")  # 9 isolate
+    g = Graph(resolve_isolates(edges, ids), transformation="R")
+    path = str(tmp_path / "w.swm")
+    write_swm(g, path, id_var="MYID", srs="GCS_WGS_1984")
+    g2 = read_swm(spark, path)
+    assert g2.transformation == "R"
+    assert sorted(map(tuple, g2.edges.collect())) == sorted(
+        map(tuple, g.edges.collect())
+    )
+
+
+def test_swm_new_version_fixed_weights(spark, tmp_path):
+    """10.1+ header with FIXEDWEIGHTS@TRUE: one float64 fans out to every
+    neighbor (golden bytes built from the documented format spec)."""
+    import struct
+
+    from libpysal_spark.io.weights_io import read_swm
+
+    path = str(tmp_path / "new.swm")
+    with open(path, "wb") as f:
+        f.write(b"VERSION@10.1;UNIQUEID@MYID;SPATIALREFNAME@X;FIXEDWEIGHTS@TRUE\n")
+        f.write(struct.pack("<2l", 2, 0))
+        f.write(struct.pack("<2l", 7, 2))
+        f.write(struct.pack("<2l", 8, 9))          # neighbors of 7
+        f.write(struct.pack("<d", 0.25))           # ONE fixed weight
+        f.write(struct.pack("<d", 0.5))            # stored sum
+        f.write(struct.pack("<2l", 8, 0))          # obs 8: no neighbors
+    g = read_swm(spark, path)
+    real = sorted(map(tuple, g.edges.filter("weight > 0").collect()))
+    assert real == [(7, 8, 0.25), (7, 9, 0.25)]
+    iso = g.edges.filter("weight = 0").collect()
+    assert {(r.focal, r.neighbor) for r in iso} == {(8, 8)}
+
+
+def test_dat_round_trip(spark, tmp_path):
+    from libpysal_spark.graph import Graph
+    from libpysal_spark.io.weights_io import read_dat, write_dat
+
+    edges = spark.createDataFrame(
+        [(2, 1, 0.25), (5, 1, 0.5), (1, 2, 0.25)],
+        "focal long, neighbor long, weight double",
+    )
+    g = Graph(edges)
+    path = str(tmp_path / "w.dat")
+    write_dat(g, path)
+    g2 = read_dat(spark, path)
+    real = sorted(map(tuple, g2.edges.filter("weight > 0").collect()))
+    assert real == [(1, 2, 0.25), (2, 1, 0.25), (5, 1, 0.5)]
