@@ -522,6 +522,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pages_tiles"] = _tiles
 
+    # --- html -> text byte identity (north_star per-url invariant): extract
+    # text from the raw html BYTES with the generic tag-strip expression and
+    # hash it; the oracle hashes the stored text column directly. Any byte
+    # drift in the extraction path breaks the md5 match. ---
+    def _extract(s, d):
+        from libpysal_spark.pages import extract_text
+
+        p = pages(s, d)
+        return p.select(
+            "doc_id", F.md5(F.encode(extract_text("html"), "UTF-8")).alias("text_md5")
+        ).orderBy("doc_id")
+
+    q["extract_text_bytes"] = _extract
+
     # --- dedup / text-analysis (training-data ops) ---
     q["dedup_exact"] = lambda s, d: D.exact_duplicates(_docs(s, d)).orderBy("content_hash")
     q["minhash_lsh_pairs"] = lambda s, d: D.minhash_candidates(
@@ -1567,6 +1581,9 @@ SELECT
     )
     o["pages_text_invariant"] = f"""
 SELECT {_url} AS url, text, lang FROM documents ORDER BY url"""
+
+    o["extract_text_bytes"] = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id"""
 
     o["pages_tiles"] = f"""
 WITH g AS (SELECT {_url} AS url, {xs} AS x, {ys} AS y FROM documents)

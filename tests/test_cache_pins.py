@@ -41,17 +41,21 @@ def test_battery_leaves_no_pinned_caches(spark):
             g.edges.count()  # materialize → caches actually fill
         return None
 
+    gc.collect()
+    baseline = _n_persistent(spark)  # other tests' async-cleaned checkpoints
     battery()
     gc.collect()
-    assert _n_persistent(spark) == 0
+    assert _n_persistent(spark) <= baseline
 
 
 def test_explicit_unpersist_releases_now(spark):
+    gc.collect()
+    baseline = _n_persistent(spark)
     pts = document_points(spark, SF)
     g = distance_band(pts, 20.0)
     g.edges.count()
-    assert _n_persistent(spark) >= 1
+    assert _n_persistent(spark) >= baseline + 1
     g.unpersist()
-    assert _n_persistent(spark) == 0
+    assert _n_persistent(spark) <= baseline
     # and the Graph still works afterwards (recompute, not failure)
     assert g.edges.count() > 0
