@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from libpysal_spark.graph import Graph, resolve_isolates
 from libpysal_spark.functions.kernels import kernel_expr
-from libpysal_spark.tiling import explode_to_ring, with_cells
+from libpysal_spark.tiling import explode_to_ring, pack_cell, with_cells
 
 POINT_COLS = ("id", "x", "y")
 
@@ -63,24 +63,65 @@ def candidate_pairs(
     s = float(cell_size or radius)
     # ring count r such that r*s >= radius (ceil)
     r = max(1, int(-(-radius // s)))
-    left = with_cells(points.select(*POINT_COLS), s)
-    left = explode_to_ring(left, r).select(
-        F.col("id").alias("focal"),
-        F.col("x").alias("x_f"),
-        F.col("y").alias("y_f"),
-        F.col("cell_probe"),
-    )
-    right = with_cells(points.select(*POINT_COLS), s).select(
+    tagged = with_cells(points.select(*POINT_COLS), s)
+    right = tagged.select(
         F.col("id").alias("neighbor"),
         F.col("x").alias("x_n"),
         F.col("y").alias("y_n"),
         F.col("cell"),
     )
-    pairs = left.join(right, left.cell_probe == right.cell).filter(
-        F.col("focal") != F.col("neighbor")
+
+    # HALF-RING + MIRROR: probe only the lexicographically-positive half of
+    # the Chebyshev ring — each cross-cell unordered pair meets on exactly
+    # one key, at half the join output of the full ring; the reverse ordered
+    # pair is a post-filter projection (no extra join or distance work).
+    # Same-cell pairs already come out in both orders from the (0,0) probe.
+    half = F.expr(
+        f"filter(flatten(transform(sequence(-{r}, {r}), dx -> "
+        f"transform(sequence(-{r}, {r}), dy -> struct(dx, dy)))), "
+        f"o -> o.dy > 0 or (o.dy = 0 and o.dx >= 0))"
     )
-    return pairs.withColumn("dist", _dist(p)).filter(F.col("dist") <= F.lit(float(radius))).drop(
-        "cell_probe", "cell"
+    probed = (
+        tagged.withColumn("__o", F.explode(half))
+        .withColumn(
+            "cell_probe",
+            pack_cell(F.col("cell_x") + F.col("__o.dx"), F.col("cell_y") + F.col("__o.dy")),
+        )
+        .select(
+            F.col("id").alias("focal"),
+            F.col("x").alias("x_f"),
+            F.col("y").alias("y_f"),
+            ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).alias("__same"),
+            "cell_probe",
+        )
+    )
+    cand = (
+        probed.join(right, probed.cell_probe == right.cell)
+        .filter(F.col("focal") != F.col("neighbor"))
+        .withColumn("dist", _dist(p))
+        .filter(F.col("dist") <= F.lit(float(radius)))
+    )
+    # one matched row fans out to both ordered pairs IN THE SAME PASS (a
+    # native explode, not a union of two join subtrees — the join runs once);
+    # same-cell hits already appear in both orders from the (0,0) probe, so
+    # only cross-cell hits mirror.
+    both = cand.withColumn(
+        "__m",
+        F.explode(
+            F.when(F.col("__same"), F.array(F.lit(0))).otherwise(
+                F.array(F.lit(0), F.lit(1))
+            )
+        ),
+    )
+    fwd = F.col("__m") == 0
+    return both.select(
+        F.when(fwd, F.col("focal")).otherwise(F.col("neighbor")).alias("focal"),
+        F.when(fwd, F.col("neighbor")).otherwise(F.col("focal")).alias("neighbor"),
+        F.when(fwd, F.col("x_f")).otherwise(F.col("x_n")).alias("x_f"),
+        F.when(fwd, F.col("y_f")).otherwise(F.col("y_n")).alias("y_f"),
+        F.when(fwd, F.col("x_n")).otherwise(F.col("x_f")).alias("x_n"),
+        F.when(fwd, F.col("y_n")).otherwise(F.col("y_f")).alias("y_n"),
+        "dist",
     )
 
 
