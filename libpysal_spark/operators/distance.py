@@ -240,15 +240,9 @@ def knn_table(
     unresolved = all_pts
     n_unresolved = n
     r = initial_ring
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         if n_unresolved == 0:
             break
-        probes = explode_to_ring(unresolved, r).select(
-            F.col("id").alias("focal"),
-            F.col("x").alias("x_f"),
-            F.col("y").alias("y_f"),
-            F.col("cell_probe"),
-        )
         wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
         guarantee = float(r) * float(cell_size)
         # pre-filter to the guarantee radius BEFORE the window: a focal only
@@ -256,12 +250,68 @@ def knn_table(
         # top-k among dist<=r·s IS the global top-k — so candidates beyond the
         # guarantee can't change any resolved answer and only inflate the
         # window sort (the ring box covers ~3x the area of the circle).
-        cand = (
-            probes.join(right, probes.cell_probe == right.cell_r)
-            .filter(F.col("focal") != F.col("neighbor"))
-            .withColumn("dist", _dist(p))
-            .filter(F.col("dist") <= F.lit(guarantee))
-        )
+        if round_no == 0:
+            # round 1 is symmetric (every focal is unresolved), so the join
+            # can probe the HALF ring and fan each matched row to both
+            # ordered pairs in-pass — half the join output and half the
+            # distance computations, identical candidate set (same trick as
+            # candidate_pairs). Later rounds are asymmetric (unresolved ⊂
+            # all) and keep the full ring.
+            half = F.expr(
+                f"filter(flatten(transform(sequence(-{r}, {r}), dx -> "
+                f"transform(sequence(-{r}, {r}), dy -> struct(dx, dy)))), "
+                f"o -> o.dy > 0 or (o.dy = 0 and o.dx >= 0))"
+            )
+            probed = (
+                unresolved.withColumn("__o", F.explode(half))
+                .withColumn(
+                    "cell_probe",
+                    pack_cell(
+                        F.col("cell_x") + F.col("__o.dx"),
+                        F.col("cell_y") + F.col("__o.dy"),
+                    ),
+                )
+                .select(
+                    F.col("id").alias("focal"),
+                    F.col("x").alias("x_f"),
+                    F.col("y").alias("y_f"),
+                    ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).alias("__same"),
+                    "cell_probe",
+                )
+            )
+            matched = (
+                probed.join(right, probed.cell_probe == right.cell_r)
+                .filter(F.col("focal") != F.col("neighbor"))
+                .withColumn("dist", _dist(p))
+                .filter(F.col("dist") <= F.lit(guarantee))
+            )
+            both = matched.withColumn(
+                "__m",
+                F.explode(
+                    F.when(F.col("__same"), F.array(F.lit(0))).otherwise(
+                        F.array(F.lit(0), F.lit(1))
+                    )
+                ),
+            )
+            fwd = F.col("__m") == 0
+            cand = both.select(
+                F.when(fwd, F.col("focal")).otherwise(F.col("neighbor")).alias("focal"),
+                F.when(fwd, F.col("neighbor")).otherwise(F.col("focal")).alias("neighbor"),
+                "dist",
+            )
+        else:
+            probes = explode_to_ring(unresolved, r).select(
+                F.col("id").alias("focal"),
+                F.col("x").alias("x_f"),
+                F.col("y").alias("y_f"),
+                F.col("cell_probe"),
+            )
+            cand = (
+                probes.join(right, probes.cell_probe == right.cell_r)
+                .filter(F.col("focal") != F.col("neighbor"))
+                .withColumn("dist", _dist(p))
+                .filter(F.col("dist") <= F.lit(guarantee))
+            )
         # rank, truncate to k, and decide resolution in ONE pass: a focal is
         # resolved iff its kth candidate exists and is within the guarantee.
         # ONE eager localCheckpoint per round materializes the ranked
