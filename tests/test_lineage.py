@@ -105,3 +105,36 @@ def test_checksum_partition_invariant(spark, edges, tmp_path):
     a = {k: v["checksum"] for k, v in m1["partitions"].items()}
     b = {k: v["checksum"] for k, v in m2["partitions"].items()}
     assert a == b
+
+
+def test_build_weights_job_resumes(spark, tmp_path):
+    """jobs/build_weights.py: the spark-submit entry point writes a
+    lineage-manifested edge table and a second identical run writes ZERO new
+    partitions (exact resume)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from libpysal_spark.pages import document_points
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pts_path = str(tmp_path / "pts.parquet")
+    out_path = str(tmp_path / "edges")
+    document_points(spark, "/root/testdata/sf0.001").write.parquet(pts_path)
+
+    def run():
+        env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "build_weights.py"),
+             "--points", pts_path, "--out", out_path,
+             "--op", "band", "--threshold", "20.0", "--buckets", "8"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert first["partitions_written"] == first["partitions_total"] > 0
+    second = run()
+    assert second["partitions_written"] == 0
+    assert second["rows"] == first["rows"]
