@@ -95,3 +95,42 @@ def test_filter_adjlist_halves_symmetric_lists(spark, e1):
     # one direction per undirected pair, and mirrors reconstruct the set
     assert len(kept) * 2 == len(full)
     assert {(b, a) for a, b in kept} | kept == full
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # coarse integer coords: collisions + cell-edge
+            st.integers(0, 40),  # cases appear often
+        ),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    ),
+    radius=st.sampled_from([3.0, 7.0, 12.5]),
+    cell=st.sampled_from([None, 2.0, 5.0]),
+)
+def test_candidate_pairs_equals_brute_force(spark, pts, radius, cell):
+    """The half-ring + mirror candidate join must emit EXACTLY the ordered
+    pairs within the radius — for any point set, radius, and cell size
+    (including cells bigger and smaller than the radius)."""
+    from libpysal_spark.operators.distance import candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double",
+    )
+    got = {
+        (r.focal, r.neighbor)
+        for r in candidate_pairs(df, radius, cell_size=cell).collect()
+    }
+    import math
+
+    want = {
+        (i, j)
+        for i, (xi, yi) in enumerate(pts)
+        for j, (xj, yj) in enumerate(pts)
+        if i != j and math.hypot(xi - xj, yi - yj) <= radius
+    }
+    assert got == want
