@@ -296,6 +296,10 @@ def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
         .filter(F.col("focal") < F.col("neighbor"))
         .select("focal", "neighbor", "va", "vb")
         .distinct()
+        # consumed by BOTH the segment-crossing and containment branches —
+        # persist once, pinned to the returned Graph's lifetime (pin_for
+        # below), instead of running the candidate join twice
+        .persist()
     )
 
     def segs(col, out_prefix):
@@ -359,7 +363,9 @@ def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
     pairs = half.unionByName(
         half.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
     ).withColumn("weight", F.lit(1.0))
-    return Graph(resolve_isolates(pairs, polygons.select("id")))
+    from libpysal_spark.graph import pin_for
+
+    return Graph(pin_for(resolve_isolates(pairs, polygons.select("id")), cand))
 
 
 def _ring_contains(pt_x, pt_y, ring) -> F.Column:
