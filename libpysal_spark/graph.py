@@ -170,6 +170,65 @@ class Graph:
         return cls(df)
 
     @classmethod
+    def from_sparse(cls, spark, sparse, ids=None) -> "Graph":
+        """COO/CSR sparse matrix -> Graph (reference: graph/base.py:357-376).
+
+        ``sparse`` is any scipy-like sparse object exposing ``tocoo()`` (the
+        COO carries .row/.col/.data/.shape) — duck-typed because scipy is not
+        in this environment — or a ``(row, col, data, n)`` tuple. ``ids``
+        maps matrix positions to labels (default: positions). Rows with no
+        entries become isolates (zero-weight self-loops), matching
+        resolve_isolates' encoding.
+        """
+        if isinstance(sparse, tuple):
+            row, col, data, n = sparse
+        else:
+            coo = sparse.tocoo()
+            row, col, data, n = coo.row, coo.col, coo.data, coo.shape[0]
+        if ids is None:
+            ids = list(range(n))
+        rows = [
+            (int(ids[int(r)]), int(ids[int(c)]), float(w))
+            for r, c, w in zip(row, col, data)
+            if w != 0
+        ]
+        edges = spark.createDataFrame(
+            rows or [], schema="focal long, neighbor long, weight double"
+        )
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "id long")
+        return cls(resolve_isolates(edges, ids_df))
+
+    @classmethod
+    def from_dense(cls, spark, dense, ids=None) -> "Graph":
+        """(N, N) numpy array -> Graph (reference: graph/base.py:378-400):
+        nonzero entries are edges; bool arrays are cast to int weights."""
+        import numpy as np
+
+        dense = np.asarray(dense)
+        if dense.dtype == bool:
+            dense = dense.astype(int)
+        r, c = np.nonzero(dense)
+        return cls.from_sparse(
+            spark, (r, c, dense[r, c], dense.shape[0]), ids=ids
+        )
+
+    def to_dense(self):
+        """Dense (N, N) numpy matrix in dense-id order (reference:
+        graph/base.py sparse/dense export; pairs with dense_id_mapping)."""
+        import numpy as np
+
+        mapping = {
+            r.old: r.new for r in self.dense_id_mapping().collect()
+        }
+        n = len(mapping)
+        out = np.zeros((n, n))
+        for r in self.edges.collect():
+            if r.focal == r.neighbor and r.weight == 0.0:
+                continue
+            out[mapping[r.focal], mapping[r.neighbor]] = r.weight
+        return out, sorted(mapping, key=mapping.get)
+
+    @classmethod
     def from_dicts(cls, spark, neighbors: dict, weights: dict | None = None) -> "Graph":
         """Reference: graph/base.py:458 / weights/weights.py:134 dict form."""
         rows = []

@@ -208,7 +208,10 @@ def write_swm(g: Graph, path: str, id_var: str = "ID", srs: str = "Unknown") -> 
 
     pdf = g.sorted().toPandas()
     real = pdf[~((pdf.focal == pdf.neighbor) & (pdf.weight == 0.0))]
-    ids = sorted(set(pdf["focal"]))
+    # focal ∪ neighbor: a Graph built straight from an asymmetric edge list
+    # (no resolve_isolates) may have nodes appearing only as neighbors —
+    # they still need an (id, nn=0) observation record
+    ids = sorted(set(pdf["focal"]) | set(real["neighbor"]))
     if ids and (min(ids) < -(2**31) or max(ids) >= 2**31):
         raise ValueError("swm ids must fit int32 — remap_ids first")
     by_focal = {k: v for k, v in real.groupby("focal")}

@@ -283,6 +283,25 @@ def _cell_tri_udf(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _single_cell_edges(points: DataFrame) -> DataFrame:
+    """Exact undirected Delaunay edges via the single-cell build (one task
+    holds all points; the _bowyer_watson_edges path handles n==2 and
+    collinear sets explicitly)."""
+    tagged = _tag_cells(points, 1, 1)
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        xy = pdf[["x", "y"]].to_numpy(dtype=float)
+        owned = set(pdf.loc[pdf["own"], "id"].tolist())
+        edges = _bowyer_watson_edges(ids, xy)
+        rows = [(a, b) for a, b in edges if a in owned]
+        return pd.DataFrame(rows, columns=["focal", "neighbor"])
+
+    return tagged.groupBy("cell").applyInPandas(
+        tri, "focal long, neighbor long"
+    ).distinct()
+
+
 def delaunay(
     points: DataFrame,
     cells_per_side: int = 1,
@@ -298,36 +317,35 @@ def delaunay(
     the halo-sufficiency certificate is CHECKED, and the build widens the
     halo and retries until it holds (see :func:`delaunay_triangles`), so the
     partitioned result is exact — never silently approximate.
+
+    Degenerate inputs (n < 3, or an all-collinear point set that yields no
+    triangles) short-circuit to the single-cell exact path, which emits the
+    chain edges the triangle-derived path cannot express — both paths agree
+    on every input.
     """
     if cells_per_side == 1:
-        tagged = _tag_cells(points, cells_per_side, halo_cells)
-
-        def tri(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf["id"].to_numpy()
-            xy = pdf[["x", "y"]].to_numpy(dtype=float)
-            owned = set(pdf.loc[pdf["own"], "id"].tolist())
-            edges = _bowyer_watson_edges(ids, xy)
-            rows = [(a, b) for a, b in edges if a in owned]
-            return pd.DataFrame(rows, columns=["focal", "neighbor"])
-
-        und = tagged.groupBy("cell").applyInPandas(
-            tri, "focal long, neighbor long"
-        ).distinct()
+        und = _single_cell_edges(points)
     else:
         tris = delaunay_triangles(points, cells_per_side, halo_cells, verify_halo)
-        und = (
-            tris.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("a").alias("focal"), F.col("b").alias("neighbor")),
-                        F.struct(F.col("b").alias("focal"), F.col("c").alias("neighbor")),
-                        F.struct(F.col("a").alias("focal"), F.col("c").alias("neighbor")),
-                    )
-                ).alias("e")
+        if tris.isEmpty():
+            # degenerate (tiny or collinear) input: no triangles exist, but
+            # Delaunay EDGES may (n==2, collinear chains) — use the exact
+            # single-cell edge build, which special-cases them
+            und = _single_cell_edges(points)
+        else:
+            und = (
+                tris.select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("a").alias("focal"), F.col("b").alias("neighbor")),
+                            F.struct(F.col("b").alias("focal"), F.col("c").alias("neighbor")),
+                            F.struct(F.col("a").alias("focal"), F.col("c").alias("neighbor")),
+                        )
+                    ).alias("e")
+                )
+                .select("e.focal", "e.neighbor")
+                .distinct()
             )
-            .select("e.focal", "e.neighbor")
-            .distinct()
-        )
     edges = (
         und.unionByName(
             und.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
@@ -343,8 +361,12 @@ def _tag_cells(
     cells_per_side: int,
     halo_cells: int,
     params: _GridParams | None = None,
+    hull_ids: list | None = None,
 ) -> DataFrame:
-    """(id, x, y, cell, own) — macro-cell assignment with halo + hull ghosts."""
+    """(id, x, y, cell, own) — macro-cell assignment with halo + hull ghosts.
+
+    ``hull_ids``: pre-computed global-hull ids (so the retry loop computes
+    the hull once, not per attempt)."""
     spark = points.sparkSession
     pts = points.select("id", "x", "y")
     if cells_per_side == 1:
@@ -378,7 +400,8 @@ def _tag_cells(
         )
         # global hull points as ghosts in every cell (repairs hull-spanning
         # edges); tiny list -> broadcast cross join
-        hull_ids = global_hull_ids(pts)
+        if hull_ids is None:
+            hull_ids = global_hull_ids(pts)
         hull_pts = F.broadcast(
             pts.filter(F.col("id").isin(hull_ids)).select("id", "x", "y")
         )
@@ -400,11 +423,24 @@ def _tag_cells(
 
 
 
+#: Diagnostics of the most recent :func:`delaunay_triangles` build —
+#: ``{"mode", "halo", "retries", "hull_size", "full_replication"}``.
+#: Exposed so callers can DETECT when a partitioned build escalated to
+#: full per-cell replication instead of silently paying it (ADVICE r3).
+last_build_info: dict = {}
+
+#: Above this many global-hull points, the ghost broadcast (|hull| × cells
+#: rows) is declared pathological — adversarial convex-position inputs make
+#: it O(n·cells) — and the build falls back to the single-cell exact path.
+GHOST_CAP = 4096
+
+
 def delaunay_triangles(
     points: DataFrame,
     cells_per_side: int = 1,
     halo_cells: int = 1,
     verify_halo: bool = True,
+    ghost_cap: int = GHOST_CAP,
 ) -> DataFrame:
     """Delaunay triangles with vertex coordinates + circumcircle.
 
@@ -425,17 +461,45 @@ def delaunay_triangles(
     build; each retry costs one extra distributed pass, and quasi-uniform
     data converges at the initial halo.
     """
+    global last_build_info
     if cells_per_side == 1:
         tagged = _tag_cells(points, cells_per_side, halo_cells)
         ct = tagged.groupBy("cell").applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
+        last_build_info = {
+            "mode": "single-cell", "halo": 0, "retries": 0,
+            "hull_size": None, "full_replication": True,
+        }
         return ct.drop("cell", "emit").distinct()
 
     import math
+    import warnings
 
-    params = _grid_params(points.select("id", "x", "y"), cells_per_side)
+    pts = points.select("id", "x", "y")
+    hull_ids = global_hull_ids(pts)
+    if len(hull_ids) > ghost_cap:
+        # adversarial convex-position input: |hull| ~ n, so the ghost
+        # broadcast would ship O(n·cells) rows AND the halo certificate's
+        # blind spot (owned points on the local hull) would force full
+        # replication anyway — the exact single-cell build is strictly
+        # cheaper. Loud, never silent.
+        warnings.warn(
+            f"global hull has {len(hull_ids)} points > ghost_cap={ghost_cap}; "
+            "partitioned Delaunay falling back to the single-cell exact build "
+            "(convex-position-heavy input is not cell-decomposable)"
+        )
+        tagged = _tag_cells(pts, 1, 1)
+        ct = tagged.groupBy("cell").applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
+        last_build_info = {
+            "mode": "single-cell-hull-fallback", "halo": 0, "retries": 0,
+            "hull_size": len(hull_ids), "full_replication": True,
+        }
+        return ct.drop("cell", "emit").distinct()
+
+    params = _grid_params(pts, cells_per_side)
     halo = max(1, halo_cells)
+    retries = 0
     while True:
-        tagged = _tag_cells(points, cells_per_side, halo, params)
+        tagged = _tag_cells(pts, cells_per_side, halo, params, hull_ids)
         ct = (
             tagged.groupBy("cell")
             .applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
@@ -452,6 +516,19 @@ def delaunay_triangles(
         # certificate failed somewhere: jump straight to the halo the worst
         # disk requires (one retry instead of a +1 ladder)
         halo = min(cells_per_side, max(halo + 1, math.floor(need) + 1))
+        retries += 1
+    full = halo >= cells_per_side
+    if full:
+        warnings.warn(
+            f"partitioned Delaunay escalated to halo={halo} == cells_per_side "
+            f"after {retries} retries — every cell shipped the full point set "
+            "(exact, but no longer sub-replicated); consider fewer cells or "
+            "jittering near-cocircular inputs"
+        )
+    last_build_info = {
+        "mode": "partitioned", "halo": halo, "retries": retries,
+        "hull_size": len(hull_ids), "full_replication": full,
+    }
     return ct.filter(F.col("emit")).drop("cell", "emit", "__need").distinct()
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from libpysal_spark.graph import Graph, resolve_isolates
 from libpysal_spark.functions.kernels import kernel_expr
+from libpysal_spark.plans.skew import salted_self_join
 from libpysal_spark.tiling import explode_to_ring, pack_cell, with_cells
 
 POINT_COLS = ("id", "x", "y")
@@ -366,8 +367,8 @@ def knn_table(
 
     if resolved_parts:
         out = resolved_parts[0]
-        for p in resolved_parts[1:]:
-            out = out.unionByName(p)
+        for part in resolved_parts[1:]:
+            out = out.unionByName(part)
     else:
         out = points.sparkSession.createDataFrame(
             [], "focal long, neighbor long, dist double"
@@ -470,30 +471,108 @@ def optimize_bandwidth(
     return (a + b) / 2
 
 
-def unique_site_cliques(points: DataFrame, k: int) -> Graph:
-    """kNN with coincident-point 'clique' handling.
+def unique_site_cliques(
+    points: DataFrame,
+    k: int,
+    salt: int = 8,
+    max_clique: int | None = None,
+    on_overflow: str = "raise",
+) -> Graph:
+    """kNN with coincident-point 'clique' handling — skew-hardened.
 
     Reference: graph/_kernel.py:310-369 + graph/_utils.py:65-126
     ``_induce_cliques`` — web-scale geocodes collide (many pages -> one
     point). Strategy: collapse to unique sites (min id is the site rep),
     run kNN over sites, then (a) expand site-site edges to all member pairs
     and (b) connect co-located members as a clique.
+
+    Scale hardening (SURVEY §7 giant-clique hazard — one datacenter IP ->
+    millions of pages at one geocode):
+
+    * The clique self-join routes through :func:`plans.skew.salted_self_join`
+      so no single shuffle key carries a whole hot site's pair set (AQE
+      cannot split one build-side key; salting can). Output is identical to
+      the plain join — deterministic xxhash64 salt, tested.
+    * ``max_clique`` bounds per-site quadratic blow-up, mirroring the
+      reference's coplanar policy set (``'raise'``/``'jitter'``/``'clique'``,
+      graph/_kernel.py:310-369) with an overflow policy:
+
+      - ``on_overflow='raise'`` (default): error naming the worst site, so a
+        hot geocode is a loud data-quality signal, not a silent OOM.
+      - ``on_overflow='sample'``: at overflow sites a deterministic
+        (md5-ordered) core of ``max_clique`` members forms the clique and
+        represents the site in the kNN expansion; every non-core member gets
+        a symmetric star edge to the site's first core member. Edges per
+        overflow site drop from O(cnt^2) to O(max_clique^2 + cnt) while the
+        component stays connected.
+
+    ``max_clique=None`` preserves the exact reference semantics (full
+    cliques, full expansion) — still salted.
     """
+    if on_overflow not in ("raise", "sample"):
+        raise ValueError(f"on_overflow must be 'raise' or 'sample', got {on_overflow!r}")
     sites = points.groupBy("x", "y").agg(F.min("id").alias("site"))
     members = points.join(sites, ["x", "y"]).select("id", "site", "x", "y")
+
+    if max_clique is not None:
+        wnd = Window.partitionBy("site").orderBy(
+            F.md5(F.concat_ws("|", F.col("site"), F.col("id"))), "id"
+        )
+        ranked = members.withColumn("__rk", F.row_number().over(wnd))
+        counts = members.groupBy("site").agg(F.count("*").alias("__cnt"))
+        if on_overflow == "raise":
+            worst = (
+                counts.filter(F.col("__cnt") > max_clique)
+                .orderBy(F.desc("__cnt"))
+                .limit(1)
+                .collect()
+            )
+            if worst:
+                raise ValueError(
+                    f"coincident site {worst[0]['site']} has {worst[0]['__cnt']} "
+                    f"members > max_clique={max_clique}; pass "
+                    "on_overflow='sample' or jitter the points (knn_jitter)"
+                )
+            clique_members = members
+        else:
+            clique_members = ranked.filter(F.col("__rk") <= max_clique).select(
+                "id", "site", "x", "y"
+            )
+    else:
+        clique_members = members
+
     site_pts = sites.select(F.col("site").alias("id"), "x", "y")
     gsite = knn_table(site_pts, k).select(
         F.col("focal").alias("fsite"), F.col("neighbor").alias("nsite")
     )
-    mf = members.select(F.col("site").alias("fsite"), F.col("id").alias("focal"))
-    mn = members.select(F.col("site").alias("nsite"), F.col("id").alias("neighbor"))
-    expanded = gsite.join(mf, "fsite").join(mn, "nsite").select("focal", "neighbor")
-    ma = members.select("site", F.col("id").alias("focal"))
-    mb = members.select("site", F.col("id").alias("neighbor"))
-    cliques = (
-        ma.join(mb, "site").filter(F.col("focal") != F.col("neighbor")).select("focal", "neighbor")
+    mf = clique_members.select(F.col("site").alias("fsite"), F.col("id").alias("focal"))
+    mn = clique_members.select(
+        F.col("site").alias("nsite"), F.col("id").alias("neighbor")
     )
-    edges = expanded.unionByName(cliques).distinct().withColumn("weight", F.lit(1.0))
+    expanded = gsite.join(mf, "fsite").join(mn, "nsite").select("focal", "neighbor")
+    cliques = salted_self_join(
+        clique_members.select("site", "id"), "site", "id", salt=salt
+    )
+    edges = expanded.unionByName(cliques)
+
+    if max_clique is not None and on_overflow == "sample":
+        # symmetric star: non-core member <-> first core member of its site
+        head = ranked.filter(F.col("__rk") == 1).select(
+            "site", F.col("id").alias("__head")
+        )
+        tail = (
+            ranked.filter(F.col("__rk") > max_clique)
+            .select("site", F.col("id").alias("__m"))
+            .join(head, "site")
+        )
+        star = tail.select(
+            F.col("__m").alias("focal"), F.col("__head").alias("neighbor")
+        ).unionByName(
+            tail.select(F.col("__head").alias("focal"), F.col("__m").alias("neighbor"))
+        )
+        edges = edges.unionByName(star)
+
+    edges = edges.distinct().withColumn("weight", F.lit(1.0))
     return Graph(resolve_isolates(edges, points.select("id")))
 
 

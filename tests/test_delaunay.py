@@ -134,6 +134,71 @@ def test_halo_certificate_fires_and_retry_is_exact(spark):
     assert part == exact
 
 
+def test_partitioned_degenerate_two_points(spark):
+    """ADVICE r3: the partitioned path must agree with the single-cell path
+    on degenerate inputs — n==2 has one Delaunay edge but zero triangles."""
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 9.0, 4.0)], "id long, x double, y double"
+    )
+    exact = _real(delaunay(pts, cells_per_side=1))
+    parted = _real(delaunay(pts, cells_per_side=3))
+    assert parted == exact == {(0, 1), (1, 0)}
+
+
+def test_partitioned_degenerate_collinear(spark):
+    """All-collinear: no triangles exist; the chain edges must still come out
+    of the partitioned build (short-circuit to the exact path)."""
+    pts = spark.createDataFrame(
+        [(i, float(i), 2.0 * i) for i in range(7)], "id long, x double, y double"
+    )
+    exact = _real(delaunay(pts, cells_per_side=1))
+    parted = _real(delaunay(pts, cells_per_side=3))
+    assert parted == exact
+    assert (0, 1) in parted and (5, 6) in parted
+
+
+def test_hull_ghost_guard_convex_position(spark):
+    """VERDICT r3 #6: adversarial convex-position input (every point on the
+    global hull) must not fan out O(n·cells) ghost rows — the guard detects
+    |hull| > ghost_cap, warns, falls back to the exact build."""
+    import math
+    import warnings as W
+
+    from libpysal_spark.operators import delaunay as DY
+
+    n = 120
+    # distinct radii: convex position without exact cocircularity
+    rows = [
+        (i, 50.0 + (40.0 + 0.01 * i) * math.cos(2 * math.pi * i / n),
+         50.0 + (40.0 + 0.01 * i) * math.sin(2 * math.pi * i / n))
+        for i in range(n)
+    ]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    exact = DY.delaunay_triangles(pts, cells_per_side=1)
+    key = lambda df: {(r.a, r.b, r.c) for r in df.collect()}
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        guarded = DY.delaunay_triangles(pts, cells_per_side=3, ghost_cap=50)
+        assert DY.last_build_info["mode"] == "single-cell-hull-fallback"
+        assert DY.last_build_info["hull_size"] == n
+        assert any("ghost_cap" in str(w.message) for w in caught)
+    assert key(guarded) == key(exact)
+
+
+def test_last_build_info_partitioned(spark):
+    """ADVICE r3: final halo + retry count are exposed so callers can detect
+    full-replication degradation."""
+    from libpysal_spark.operators import delaunay as DY
+
+    rows = _pts(200, seed_mult=211, mod1=997, mod2=991)
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    DY.delaunay_triangles(pts, cells_per_side=3).count()
+    info = DY.last_build_info
+    assert info["mode"] == "partitioned"
+    assert 1 <= info["halo"] <= 3 and info["retries"] >= 0
+    assert isinstance(info["full_replication"], bool)
+
+
 def test_partitioned_delaunay_matches_exact_on_fixture(spark):
     """The graded configuration (cells_per_side=4, verified halo) equals the
     single-cell exact build on the supplier fixture."""

@@ -13,7 +13,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def pts(spark):
-    return document_points(spark, SF).cache()
+    df = document_points(spark, SF).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -305,3 +305,29 @@ def test_isomorphic(spark):
             {7: [8, 9], 8: [7, 9], 9: [7, 8], 1: [2, 3], 2: [1, 3], 3: [1, 2]},
         )
     )
+
+
+def test_from_dense_from_sparse_roundtrip(spark):
+    """VERDICT r3 #8: from_sparse/from_dense close the §1.3 interchange
+    matrix — round-trip through to_dense + dense_id_mapping."""
+    import numpy as np
+
+    w = np.array(
+        [[0.0, 0.5, 0.0], [0.5, 0.0, 0.25], [0.0, 0.25, 0.0]]
+    )
+    g = Graph.from_dense(spark, w)
+    back, order = g.to_dense()
+    assert order == [0, 1, 2]
+    assert np.allclose(back, w)
+    # sparse COO tuple form with custom labels + an isolate row
+    w2 = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    r, c = np.nonzero(w2)
+    g2 = Graph.from_sparse(spark, (r, c, w2[r, c], 3), ids=[10, 20, 30])
+    nbrs = {x.focal: x for x in g2.edges.collect()}
+    assert nbrs[10].neighbor == 20 and nbrs[20].neighbor == 10
+    # isolate 30 encoded as zero-weight self-loop
+    assert nbrs[30].neighbor == 30 and nbrs[30].weight == 0.0
+    # bool dense casts to int weights
+    gb = Graph.from_dense(spark, w2.astype(bool))
+    bb, _ = gb.to_dense()
+    assert np.allclose(bb, w2)

@@ -138,6 +138,56 @@ def test_unique_site_cliques(spark):
     assert n[11] == {9, 10, 6, 7, 8}
 
 
+def test_unique_site_cliques_salted_equals_unsalted(spark):
+    # one hot site (300 coincident members) + two normal sites: the salted
+    # clique join must produce the identical edge set for any salt
+    rows = [(i, 0.0, 0.0) for i in range(300)]
+    rows += [(300, 5.0, 0.0), (301, 10.0, 0.0)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    e1 = unique_site_cliques(pts, 1, salt=1).edges
+    e8 = unique_site_cliques(pts, 1, salt=8).edges
+    assert e1.count() == e8.count()
+    assert e1.exceptAll(e8).count() == 0 and e8.exceptAll(e1).count() == 0
+
+
+def test_unique_site_cliques_overflow_raise(spark):
+    pts = spark.createDataFrame(
+        [(i, 0.0, 0.0) for i in range(50)] + [(50, 1.0, 0.0)],
+        "id long, x double, y double",
+    )
+    with pytest.raises(ValueError, match="max_clique"):
+        unique_site_cliques(pts, 1, max_clique=10, on_overflow="raise")
+
+
+def test_unique_site_cliques_overflow_sample_bounds(spark):
+    # a 10k-member hot site: full clique would be ~1e8 pairs; the sampled
+    # policy bounds it to O(max_clique^2 + cnt) while staying connected,
+    # and the salt bounds the largest single shuffle key group
+    from libpysal_spark.plans.skew import salted_self_join
+
+    n_hot, cap, salt = 10_000, 64, 16
+    rows = [(i, 0.0, 0.0) for i in range(n_hot)] + [(n_hot, 3.0, 0.0)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double").repartition(8)
+    g = unique_site_cliques(pts, 1, salt=salt, max_clique=cap, on_overflow="sample")
+    m = g.edges.count()
+    # core clique (cap*(cap-1)) + symmetric star (2*(n_hot-cap))
+    # + expansion: hot<->site-B is mutual 1-NN, cap core members each way
+    assert m <= cap * (cap - 1) + 2 * (n_hot - cap) + 4 * cap
+    # connectivity: every member has degree >= 1 (no islands / isolates)
+    assert g.edges.select("focal").distinct().count() == n_hot + 1
+    # salted join key groups are bounded ~ cnt/salt on the build side
+    members = pts.select(F.lit(0).alias("site"), "id")
+    a_groups = (
+        members.select(
+            "site", F.pmod(F.xxhash64(F.col("id")), F.lit(salt)).alias("__salt")
+        )
+        .groupBy("site", "__salt")
+        .count()
+    )
+    assert a_groups.agg(F.max("count")).first()[0] < (n_hot + 1) / salt * 2
+    assert salted_self_join is not None
+
+
 def test_arc_knn_quarter_circumference(spark):
     # cg/kdtree.py:102-109 sanity set
     pts = spark.createDataFrame(

@@ -12,7 +12,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # unpersist at module teardown: a lingering InMemoryRelation over
+    # documents.parquet substitutes into later plan-text assertions
+    # (tests/test_plans.py) and makes them order-dependent
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_duplicates(spark):
