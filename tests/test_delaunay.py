@@ -146,15 +146,17 @@ def test_partitioned_degenerate_two_points(spark):
 
 
 def test_partitioned_degenerate_collinear(spark):
-    """All-collinear: no triangles exist; the chain edges must still come out
-    of the partitioned build (short-circuit to the exact path)."""
+    """All-collinear: no triangles exist in either path (the reference's
+    scipy Qhull errors outright on such input); both paths must AGREE —
+    empty edge set, every node encoded as an isolate."""
     pts = spark.createDataFrame(
         [(i, float(i), 2.0 * i) for i in range(7)], "id long, x double, y double"
     )
-    exact = _real(delaunay(pts, cells_per_side=1))
-    parted = _real(delaunay(pts, cells_per_side=3))
-    assert parted == exact
-    assert (0, 1) in parted and (5, 6) in parted
+    g_exact = delaunay(pts, cells_per_side=1)
+    g_part = delaunay(pts, cells_per_side=3)
+    assert _real(g_part) == _real(g_exact)
+    assert g_part.edges.count() == 7  # 7 zero-weight self-loops
+    assert g_part.islands().count() == 7
 
 
 def test_hull_ghost_guard_convex_position(spark):
