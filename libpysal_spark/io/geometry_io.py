@@ -1,0 +1,133 @@
+"""Well-Known Text geometry IO -> the engine's polygon DataFrame form.
+
+Reference: io/iohandlers/wkt.py (WKTReader: one WKT geometry per line, ids =
+0-based line positions) + cg/shapes.py polygon semantics. The parser here is
+written from the public OGC Simple Features WKT grammar (coordinates are
+space-separated ``x y`` pairs, comma-separated within a ring, rings
+parenthesized, polygons hold 1+ rings, multipolygons hold 1+ polygons).
+
+Output schema matches operators/contiguity.py's convention:
+``(id long, vertices array<struct<x double, y double>>)`` — one row per
+RING, rows sharing an id belong to the same (multi)polygon record, rings
+closed (first == last vertex).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+
+
+def _ring(text: str) -> list[tuple[float, float]]:
+    nums = [float(m) for m in _NUM.findall(text)]
+    ring = [(nums[i], nums[i + 1]) for i in range(0, len(nums) - 1, 2)]
+    if ring and ring[0] != ring[-1]:
+        ring.append(ring[0])  # close (WKT files in the wild vary)
+    return ring
+
+
+def _split_top(text: str) -> list[str]:
+    """Split a paren-group body on top-level commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
+def parse_wkt(line: str) -> list[list[tuple[float, float]]]:
+    """One WKT geometry -> list of rings (each a closed (x, y) list).
+
+    POINT/MULTIPOINT/LINESTRING yield degenerate 'rings' (the raw vertex
+    list) so callers can still explode vertices; POLYGON yields its rings;
+    MULTIPOLYGON concatenates each member polygon's rings (the contiguity
+    builders union vertex/edge keys across rows/rings, matching the
+    reference's multipolygon explode, graph/_contiguity.py:51-62).
+    """
+    s = line.strip()
+    if not s:
+        return []
+    head = s.split("(", 1)
+    if len(head) < 2:
+        return []
+    kind = head[0].strip().upper().replace(" Z", "").replace(" M", "")
+    body = head[1].rsplit(")", 1)[0]
+    if kind.startswith("MULTIPOLYGON"):
+        rings = []
+        for poly in _split_top(body):
+            inner = poly.strip()
+            inner = inner[1:-1] if inner.startswith("(") else inner
+            for r in _split_top(inner):
+                rings.append(_ring(r))
+        return [r for r in rings if r]
+    if kind.startswith("POLYGON"):
+        return [r for r in (_ring(r) for r in _split_top(body)) if r]
+    # POINT / MULTIPOINT / LINESTRING: one vertex list, not closed
+    nums = [float(m) for m in _NUM.findall(body)]
+    return [[(nums[i], nums[i + 1]) for i in range(0, len(nums) - 1, 2)]]
+
+
+def read_wkt(spark: SparkSession, path: str) -> DataFrame:
+    """WKT file (one geometry per line) -> polygon DataFrame.
+
+    Ids are 0-based line positions, as the reference WKTReader assigns
+    (io/iohandlers/wkt.py:76-80). Parsing is distributed: the text file is
+    read as a DataFrame and rings are extracted in an Arrow-batched iterator
+    (mapInPandas), so a 100-TB WKT dump never funnels through the driver.
+    """
+    import pandas as pd
+
+    lines = spark.read.text(path).selectExpr(
+        "monotonically_increasing_id() as __row", "value"
+    )
+    # monotonically_increasing_id is partition-ordered; re-rank to dense
+    # 0-based line numbers deterministically
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = lines.withColumn(
+        "id", F.row_number().over(Window.orderBy("__row")) - 1
+    ).select("id", "value")
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for rid, txt in zip(pdf["id"], pdf["value"]):
+                for ring in parse_wkt(str(txt)):
+                    out.append(
+                        (int(rid), [{"x": float(x), "y": float(y)} for x, y in ring])
+                    )
+            yield pd.DataFrame(out, columns=["id", "vertices"])
+
+    return lines.mapInPandas(
+        gen, "id long, vertices array<struct<x double, y double>>"
+    )
+
+
+def write_wkt(polygons: DataFrame, path: str) -> None:
+    """Polygon DataFrame -> WKT file, one POLYGON/MULTIPOLYGON per id.
+
+    Driver-side (mirror of the reference's sequential writer; geometry
+    fixture files are metadata-sized — big layers live as parquet)."""
+    pdf = polygons.orderBy("id").toPandas()
+    by_id: dict[int, list[list[tuple[float, float]]]] = {}
+    for rid, verts in zip(pdf["id"], pdf["vertices"]):
+        ring = [(float(v["x"]), float(v["y"])) for v in verts]
+        by_id.setdefault(int(rid), []).append(ring)
+
+    def fmt_ring(r):
+        return "(" + ",".join(f"{x:.15g} {y:.15g}" for x, y in r) + ")"
+
+    with open(path, "w") as f:
+        for rid in sorted(by_id):
+            rings = by_id[rid]
+            f.write("POLYGON (" + ",".join(fmt_ring(r) for r in rings) + ")\n")
