@@ -883,6 +883,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["voronoi_cells"] = _voronoi_cells
 
+    def _voronoi_hull_cells(s, d):
+        # hull-clipped Voronoi cells PARTITION the convex hull — count == n,
+        # Σarea == hull area; the oracle re-derives the hull and its area
+        # from the raw points in SQL (VERDICT r3 #3)
+        from libpysal_spark.operators.delaunay import voronoi_polygons
+
+        cells = voronoi_polygons(
+            _points(s, d, "supplier"), cells_per_side=TRI_CELLS, clip="convex_hull"
+        )
+        pairs = F.arrays_zip(
+            F.slice("vertices", 1, F.size("vertices") - 1).alias("p"),
+            F.slice("vertices", 2, F.size("vertices") - 1).alias("q"),
+        )
+        area = F.abs(
+            F.aggregate(
+                pairs,
+                F.lit(0.0),
+                lambda acc, e: acc + e["p"]["x"] * e["q"]["y"] - e["q"]["x"] * e["p"]["y"],
+            )
+        ) / 2.0
+        return cells.select("id", area.alias("__a")).agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.round(F.sum("__a") + 1e-9, 2).alias("total_area"),
+        )
+
+    q["voronoi_hull_cells"] = _voronoi_hull_cells
+
     def _alpha(s, d):
         from libpysal_spark.operators.delaunay import alpha_shape_edges
 
@@ -2052,6 +2079,36 @@ WITH pts AS ({_pts_sql('supplier')})
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST(round((max(x) - min(x)) * (max(y) - min(y)) + 1e-9, 2) AS DOUBLE) AS total_area
 FROM pts"""
+
+    # hull-clipped cells partition the convex hull: count == n, Σarea ==
+    # hull area — hull vertices found by the same strictly-one-side test as
+    # delaunay_euler, ordered by angle around their centroid, area by
+    # shoelace with the closing term via first_value over the full frame
+    o["voronoi_hull_cells"] = f"""
+WITH pts AS ({_pts_sql('supplier')}),
+hull AS (
+  SELECT DISTINCT a.id, a.x, a.y FROM pts a JOIN pts b ON b.id <> a.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.id <> a.id AND c.id <> b.id
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0
+  )
+),
+ctr AS (SELECT avg(x) AS cx, avg(y) AS cy FROM hull),
+ord AS (
+  SELECT h.x, h.y, atan2(h.y - c.cy, h.x - c.cx) AS ang FROM hull h, ctr c
+),
+seq AS (
+  SELECT x, y,
+         coalesce(lead(x) OVER w,
+                  first_value(x) OVER (ORDER BY ang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS nx,
+         coalesce(lead(y) OVER w,
+                  first_value(y) OVER (ORDER BY ang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS ny
+  FROM ord WINDOW w AS (ORDER BY ang)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_cells,
+       CAST(round(abs(sum(x * ny - nx * y)) / 2.0 + 1e-9, 2) AS DOUBLE) AS total_area
+FROM seq"""
 
     import math as _math
 

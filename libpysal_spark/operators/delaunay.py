@@ -192,6 +192,65 @@ def global_hull_ids(points: DataFrame) -> list[int]:
     return partial.iloc[keep]["id"].tolist()
 
 
+def global_hull_ring(points: DataFrame) -> list[tuple[float, float]]:
+    """Global convex hull as a CLOSED CCW coordinate ring.
+
+    Distributed partial hulls + driver merge (same two-level scheme as
+    :func:`global_hull_ids`); the collected set is bounded by the hull size.
+    Ordering: angular sort around the hull centroid (valid for any convex
+    polygon)."""
+    import math
+
+    ids = global_hull_ids(points)
+    rows = points.filter(F.col("id").isin(ids)).select("x", "y").collect()
+    pts = [(float(r.x), float(r.y)) for r in rows]
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    ring = sorted(pts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+    return ring + ring[:1]
+
+
+def _is_convex_ring(ring: list) -> bool:
+    """True if the closed ring is convex (cross products single-signed)."""
+    cl = ring[:-1] if ring[0] == ring[-1] else ring
+    n = len(cl)
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        a, bq, c = cl[i], cl[(i + 1) % n], cl[(i + 2) % n]
+        cr = (bq[0] - a[0]) * (c[1] - bq[1]) - (bq[1] - a[1]) * (c[0] - bq[0])
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign and s != sign:
+                return False
+            sign = s
+    return True
+
+
+def _resolve_clip_ring(points: DataFrame, clip, box: list) -> list:
+    """Resolve a clip spec to a convex closed ring.
+
+    ``'extent'`` -> the bbox; ``'convex_hull'`` -> the global hull
+    (reference cg/voronoi.py:389-436 clip modes); a coordinate list -> used
+    directly after a convexity check (Sutherland–Hodgman requires a convex
+    clip region; the reference's non-convex ``alpha_shape`` mode needs a
+    general polygon clipper and stays out of scope, documented)."""
+    if clip == "extent":
+        return box
+    if clip == "convex_hull":
+        return global_hull_ring(points)
+    ring = [(float(x), float(y)) for x, y in clip]
+    if ring[0] != ring[-1]:
+        ring = ring + ring[:1]
+    if not _is_convex_ring(ring):
+        raise NotImplementedError(
+            "arbitrary clip polygons must be convex (Sutherland–Hodgman); "
+            "non-convex clips (reference clip='alpha_shape') are out of scope"
+        )
+    return ring
+
+
 class _GridParams:
     """Grid geometry shared by cell tagging and the halo certificate."""
 
@@ -570,7 +629,7 @@ def alpha_shape_edges(points: DataFrame, alpha: float, cells_per_side: int = 1) 
 
 
 def voronoi_polygons(
-    points: DataFrame, cells_per_side: int = 1, clip: str | None = None
+    points: DataFrame, cells_per_side: int = 1, clip: str | list | None = None
 ) -> DataFrame:
     """(id, vertices) closed Voronoi cell rings.
 
@@ -590,6 +649,12 @@ def voronoi_polygons(
       then partition the bbox exactly. (Caveat: a needle-degenerate hull
       corner — exterior angle approaching 180° — would need a larger far
       multiplier for the truncation chord to stay outside the extent.)
+    - ``clip="convex_hull"``: same pipeline, final clip against the global
+      convex hull of the input points (reference cg/voronoi.py:389-410
+      ``clip='convex_hull'``). Cell areas partition the hull exactly.
+    - ``clip=[(x, y), ...]``: clip against an arbitrary CONVEX polygon lying
+      within the extent (reference's shapely-Polygon mode, :411-436;
+      non-convex clips are out of scope — see :func:`_resolve_clip_ring`).
 
     Plan shape: explode 3 vertices per triangle, one groupBy(id) with an
     angle-sorted collect (bounded by degree), and — only when clipping — one
@@ -686,13 +751,14 @@ def voronoi_polygons(
     from libpysal_spark.operators.overlay import _clip_ring
 
     box = [(b.x0, b.y0), (b.x1, b.y0), (b.x1, b.y1), (b.x0, b.y1), (b.x0, b.y0)]
+    clip_ring = _resolve_clip_ring(points, clip, box)
 
     def clip_batches(it):
         for pdf in it:
             ids, rings = [], []
             for id_, ring_ in zip(pdf["id"], pdf["vertices"]):
                 subj = [(v["x"], v["y"]) for v in ring_]
-                out = _clip_ring(subj, box)
+                out = _clip_ring(subj, clip_ring)
                 if out:
                     ids.append(id_)
                     rings.append([{"x": x, "y": y} for x, y in out + out[:1]])
@@ -727,8 +793,48 @@ def _segment_hits_box(p0x, p0y, p1x, p1y, bx0, by0, bx1, by1):
     return tmin <= tmax
 
 
+def _segments_in_convex(seg: DataFrame, ring: list) -> DataFrame:
+    """Filter (…, q0x, q0y, q1x, q1y) rows to segments intersecting the
+    convex closed ``ring`` — vectorized Cyrus–Beck in an Arrow-batched
+    iterator (one numpy (m, H) computation per batch; the ring travels in
+    the closure, bounded by the hull-size guard)."""
+    cl = ring[:-1] if ring[0] == ring[-1] else ring
+    # orient CCW so inward normals are consistent
+    area2 = sum(
+        cl[i][0] * cl[(i + 1) % len(cl)][1] - cl[(i + 1) % len(cl)][0] * cl[i][1]
+        for i in range(len(cl))
+    )
+    if area2 < 0:
+        cl = cl[::-1]
+    A = np.array(cl)
+    B = np.roll(A, -1, axis=0)
+    N = np.stack([-(B[:, 1] - A[:, 1]), B[:, 0] - A[:, 0]], axis=1)  # inward
+
+    schema = seg.schema
+
+    def keep_batches(it):
+        for pdf in it:
+            q0 = pdf[["q0x", "q0y"]].to_numpy(dtype=float)
+            q1 = pdf[["q1x", "q1y"]].to_numpy(dtype=float)
+            d = q1 - q0
+            # num[m,H] = N_h · (q0 - A_h); den[m,H] = N_h · d
+            num = q0 @ N.T - (N * A).sum(1)[None, :]
+            den = d @ N.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = -num / den
+            tlo = np.where(den > 0, t, -np.inf)
+            thi = np.where(den < 0, t, np.inf)
+            # parallel & outside half-plane -> empty
+            dead = ((den == 0) & (num < 0)).any(1)
+            lo = np.maximum(tlo.max(1), 0.0)
+            hi = np.minimum(thi.min(1), 1.0)
+            yield pdf[(~dead) & (lo <= hi)]
+
+    return seg.mapInPandas(keep_batches, schema)
+
+
 def voronoi_weights(
-    points: DataFrame, cells_per_side: int = 1, clip: str | None = None
+    points: DataFrame, cells_per_side: int = 1, clip: str | list | None = None
 ) -> Graph:
     """Voronoi-cell contiguity via Delaunay duality.
 
@@ -746,6 +852,10 @@ def voronoi_weights(
       hull-adjacent adjacencies whose shared wall lives entirely outside the
       extent. Rays are represented as long finite segments (4× the bbox
       diagonal), exact for any bounded clip region.
+    - ``clip="convex_hull"`` / ``clip=[(x, y), ...]`` (convex): same filter
+      against the hull / given convex region via vectorized Cyrus–Beck
+      (:func:`_segments_in_convex`) — reference ``voronoi_frames`` clip
+      modes feeding ``Voronoi`` weights (weights/contiguity.py:619-694).
     """
     if clip is None:
         return delaunay(points, cells_per_side=cells_per_side)
@@ -806,12 +916,24 @@ def voronoi_weights(
     rayy = c1["ccy"] + sign * py / plen * F.lit(far)
     p1x = F.when(F.col("__nt") >= 2, c2["ccx"]).otherwise(rayx)
     p1y = F.when(F.col("__nt") >= 2, c2["ccy"]).otherwise(rayy)
-    kept = grouped.filter(
-        _segment_hits_box(
-            c1["ccx"], c1["ccy"], p1x, p1y,
-            F.lit(float(b.x0)), F.lit(float(b.y0)), F.lit(float(b.x1)), F.lit(float(b.y1)),
+    if clip == "extent":
+        kept = grouped.filter(
+            _segment_hits_box(
+                c1["ccx"], c1["ccy"], p1x, p1y,
+                F.lit(float(b.x0)), F.lit(float(b.y0)), F.lit(float(b.x1)), F.lit(float(b.y1)),
+            )
+        ).select(F.col("u").alias("focal"), F.col("v").alias("neighbor"))
+    else:
+        box = [(b.x0, b.y0), (b.x1, b.y0), (b.x1, b.y1), (b.x0, b.y1), (b.x0, b.y0)]
+        ring = _resolve_clip_ring(points, clip, box)
+        seg = grouped.select(
+            "u", "v",
+            c1["ccx"].alias("q0x"), c1["ccy"].alias("q0y"),
+            p1x.alias("q1x"), p1y.alias("q1y"),
         )
-    ).select(F.col("u").alias("focal"), F.col("v").alias("neighbor"))
+        kept = _segments_in_convex(seg, ring).select(
+            F.col("u").alias("focal"), F.col("v").alias("neighbor")
+        )
     edges = (
         kept.unionByName(
             kept.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))

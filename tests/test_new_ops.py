@@ -133,6 +133,66 @@ def test_voronoi_clipped_subset_and_interior_preserved(spark):
     assert len(clipped) > 0.5 * len(unclipped)  # interior adjacency survives
 
 
+def _shoelace(r):
+    return abs(sum(r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]
+                   for i in range(len(r) - 1))) / 2
+
+
+def test_voronoi_hull_clip_partitions_hull(spark):
+    """VERDICT r3 #3: clip='convex_hull' — all n cells present, Σareas ==
+    hull area (the cells partition the hull exactly)."""
+    from libpysal_spark.operators.delaunay import (
+        global_hull_ring,
+        voronoi_polygons,
+    )
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(40)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    cells = {
+        r.id: [(v.x, v.y) for v in r.vertices]
+        for r in voronoi_polygons(pts, clip="convex_hull").collect()
+    }
+    assert set(cells) == set(range(40))
+    hull_area = _shoelace(global_hull_ring(pts))
+    total = sum(_shoelace(ring) for ring in cells.values())
+    assert abs(total - hull_area) < 1e-6 * hull_area
+
+
+def test_voronoi_polygon_clip_convex_region(spark):
+    """Arbitrary convex clip polygon: cells partition the region; non-convex
+    clip raises (documented Sutherland–Hodgman scope)."""
+    import pytest as _pytest
+
+    from libpysal_spark.operators.delaunay import voronoi_polygons
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(40)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    quad = [(20.0, 20.0), (70.0, 25.0), (65.0, 70.0), (25.0, 65.0)]
+    cells = [
+        [(v.x, v.y) for v in r.vertices]
+        for r in voronoi_polygons(pts, clip=quad).collect()
+    ]
+    total = sum(_shoelace(ring) for ring in cells)
+    assert abs(total - _shoelace(quad + quad[:1])) < 1e-6 * total
+    with _pytest.raises(NotImplementedError, match="convex"):
+        voronoi_polygons(
+            pts, clip=[(0.0, 0.0), (10.0, 0.0), (5.0, 2.0), (10.0, 10.0), (0.0, 10.0)]
+        ).collect()
+
+
+def test_voronoi_weights_hull_clip(spark):
+    """Hull-clipped Voronoi weights: kept edges ⊆ extent-clipped (hull ⊆
+    bbox), and most interior adjacency survives."""
+    from libpysal_spark.operators.delaunay import voronoi_weights
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(40)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    extent = _real(voronoi_weights(pts, clip="extent"))
+    hull = _real(voronoi_weights(pts, clip="convex_hull"))
+    assert hull <= extent
+    assert len(hull) > 0.5 * len(extent)
+
+
 def test_spatial_matching_small_n(spark):
     from libpysal_spark.operators.matching import spatial_matching
 
