@@ -628,6 +628,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = _ann_ivf
 
+    def _ann_ivf_kmeans(s, d):
+        # VERDICT r3 #4: IVF with the REAL quantizer — deterministic sampled
+        # integer-Lloyd k-means, replayed bit-for-bit by the oracle (every
+        # step is exact integer arithmetic; see kmeans_centroids_int)
+        from libpysal_spark.text.ann import ivf_topk_kmeans
+
+        emb = _emb(s, d)
+        return ivf_topk_kmeans(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+        ).orderBy("query_id", "rank")
+
+    q["ann_ivf_kmeans"] = _ann_ivf_kmeans
+
     # --- raster contiguity (SURVEY §2.2 raster) ---
     def _raster(s, d):
         ev = s.read.parquet(f"{d}/events.parquet").filter(
@@ -1879,6 +1892,86 @@ cand AS (
   SELECT DISTINCT probes.query_id, assign.neighbor_id
   FROM probes JOIN assign ON probes.cid = assign.cid
   WHERE probes.query_id <> assign.neighbor_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    # --- ann_ivf_kmeans: replay the integer-Lloyd quantizer exactly ---
+    # (kmeans_centroids_int: quantize floor(x*1e6+0.5); sample/init by
+    # md5('11:'||id) order; 3 Lloyd rounds of int-L2 assign + floor-mean
+    # update — all integer arithmetic, so SQL reproduces the centroids
+    # bit-for-bit, then the same probe/list/rescore as ann_ivf_topk)
+    def _l2_sql(av: str, bv: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({av}, {bv}), "
+            "x -> (x[1]-x[2])*(x[1]-x[2])))"
+        )
+
+    _km_iters = ""
+    for _t in range(3):
+        _km_iters += f"""
+asg{_t} AS (
+  SELECT s.sid, s.qv,
+         (SELECT c.cid FROM cent{_t} c
+          ORDER BY {_l2_sql('s.qv', 'c.cv')}, c.cid LIMIT 1) AS cid
+  FROM samp s
+),
+upd{_t} AS (
+  SELECT cid, list(nc ORDER BY i) AS cv FROM (
+    SELECT cid, i, CAST(floor(CAST(sum(vv) AS DOUBLE) / count(*)) AS BIGINT) AS nc
+    FROM (SELECT a.cid, generate_subscripts(a.qv, 1) AS i, unnest(a.qv) AS vv FROM asg{_t} a)
+    GROUP BY cid, i
+  ) GROUP BY cid
+),
+cent{_t + 1} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+  FROM cent{_t} p LEFT JOIN upd{_t} u USING (cid)
+),"""
+
+    o["ann_ivf_kmeans"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+qc AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM v
+),
+ordd AS (
+  SELECT vec_id, qv,
+         row_number() OVER (ORDER BY md5('11:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk
+  FROM qc
+),
+samp AS (SELECT vec_id AS sid, qv FROM ordd WHERE rk < 256),
+cent0 AS (SELECT rk AS cid, qv AS cv FROM ordd WHERE rk < 16),{_km_iters}
+asgc AS (
+  SELECT q.vec_id AS neighbor_id,
+         (SELECT c.cid FROM cent3 c
+          ORDER BY {_l2_sql('q.qv', 'c.cv')}, c.cid LIMIT 1) AS cid
+  FROM qc q
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_l2_sql('q.qv', 'c.cv')} ASC, c.cid ASC) AS rk
+    FROM qc q CROSS JOIN cent3 c WHERE q.vec_id < 10
+  ) WHERE rk <= 4
+),
+cand AS (
+  SELECT DISTINCT probes.query_id, asgc.neighbor_id
+  FROM probes JOIN asgc ON probes.cid = asgc.cid
+  WHERE probes.query_id <> asgc.neighbor_id
 ),
 scored AS (
   SELECT cand.query_id, cand.neighbor_id,

@@ -270,6 +270,150 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids_int(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 256,
+    iters: int = 3,
+    seed: int = 11,
+    scale: float = 1_000_000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic sampled Lloyd k-means on INTEGER-quantized vectors.
+
+    VERDICT r3 #4 — the real quantizer behind :func:`ivf_topk_kmeans`.
+    Every arithmetic step is exact integer (or exactly-reproducible double)
+    so any engine replays it bit-for-bit — the DuckDB oracle reruns the
+    identical iterations and gets the identical centroids:
+
+    1. components quantized by ``floor(x * scale + 0.5)`` (int64);
+    2. sample = first ``sample_size`` vectors ordered by
+       ``md5(seed || ':' || id)`` (portable hash order, the knn_jitter
+       precedent), collected to the driver — bounded sample_size × dim;
+    3. init = first ``n_centroids`` of that order (k-means‖-style seeding is
+       intentionally traded for replayability); centroid id = sample rank;
+    4. ``iters`` Lloyd rounds: assign by integer squared-L2 (ties -> lowest
+       centroid id), update by ``floor(component_sum / count)`` (empty
+       cluster keeps its previous centroid).
+
+    Squared-L2 on the quantized ints is a monotone proxy for L2 on the raw
+    floats (standard IVF coarse metric); the fine rescore stays float cosine.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+            ).alias("__qv"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))), "__id"
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    samp = np.array([r["__qv"] for r in rows], dtype=np.int64)
+    cent = samp[:n_centroids].copy()
+    for _ in range(iters):
+        # (s, k) integer squared distances; argmin ties -> lowest cid
+        d = ((samp[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(n_centroids):
+            m = samp[a == c]
+            if len(m):
+                cent[c] = np.floor(m.sum(0).astype(np.float64) / len(m)).astype(np.int64)
+    return [[int(v) for v in c] for c in cent]
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    sample_size: int = 256,
+    seed: int = 11,
+    scale: float = 1_000_000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with the k-means coarse quantizer of
+    :func:`kmeans_centroids_int` (VERDICT r3 #4 — replaces the lowest-id
+    placeholder; :func:`ivf_topk` keeps the placeholder path for callers
+    that want zero driver work).
+
+    Scale shape is identical to :func:`ivf_topk`: centroids broadcast as
+    literal arrays (k·dim longs), corpus/query assignment is pure JVM
+    integer arithmetic (zip_with/aggregate inside whole-stage codegen —
+    no Python, no shuffle), candidates equi-join on the centroid id, exact
+    float-cosine rescore only on candidates.
+    """
+    cents = kmeans_centroids_int(
+        corpus, n_centroids, sample_size, iters, seed, scale, id_col, vec_col
+    )
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+
+    def dists():
+        return [
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cv in cents
+        ]
+
+    def assign(df: DataFrame, role: str, n: int) -> DataFrame:
+        ds = df.select(F.col(id_col).alias(role), qv.alias("__qv"))
+        structs = F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(cid).alias("c"))
+                for cid, d in enumerate(dists())
+            ]
+        )
+        if n == 1:
+            return ds.select(role, F.array_min(structs)["c"].alias("cid"))
+        top = F.slice(F.array_sort(structs), 1, n)
+        return ds.select(
+            role, F.explode(F.transform(top, lambda s: s["c"])).alias("cid")
+        )
+
+    lists = assign(corpus, "neighbor_id", 1)
+    probes = assign(queries, "query_id", n_probe)
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__quv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = cand.join(q, "query_id").join(c, "neighbor_id").withColumn(
+        "cosine", F.round(_cosine("__quv", "__cv"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def srp_threshold_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -180,3 +180,36 @@ def test_ngram_jaccard_max_df_bounds_hot_shingles(spark):
     # without the guard, the hot shingle alone yields n*(n-1)/2 pairs
     unguarded = D.ngram_jaccard(docs, threshold=0.0)
     assert unguarded.count() == n * (n - 1) // 2
+
+
+def test_ivf_kmeans_quantizer(spark):
+    """VERDICT r3 #4: IVF with the deterministic integer-Lloyd quantizer.
+    Probing ALL lists must equal the exact top-k (candidate set == corpus);
+    the quantizer itself must be stable across recomputation."""
+    from libpysal_spark.text.ann import (
+        cosine_topk,
+        ivf_topk_kmeans,
+        kmeans_centroids_int,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.rank): r.neighbor_id for r in cosine_topk(emb, q, k=3).collect()}
+    n_cent = 8
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk_kmeans(
+            emb, q, k=3, n_centroids=n_cent, n_probe=n_cent
+        ).collect()
+    }
+    assert full == exact  # all-lists probe == brute force
+    # deterministic: two independent builds give identical centroids
+    c1 = kmeans_centroids_int(emb, n_centroids=n_cent)
+    c2 = kmeans_centroids_int(emb, n_centroids=n_cent)
+    assert c1 == c2
+    # partial probe: a sane approximation (most of top-k retained on the
+    # 50-vector fixture), never a superset error
+    part = ivf_topk_kmeans(emb, q, k=3, n_centroids=n_cent, n_probe=4)
+    got = {(r.query_id, r.neighbor_id) for r in part.collect()}
+    want = {(k_[0], v) for k_, v in exact.items()}
+    assert len(got & want) >= 0.5 * len(want)
