@@ -140,12 +140,18 @@ def main():
                 pass
     spark.range(1000000).select(F.sum("id")).collect()
 
-    # two timed passes, min per query: this host's wall clock swings 2-5x
-    # run-to-run (oversubscribed VM) — the min of interleaved warm passes is
-    # the standard noisy-host estimator (same policy as scripts/scaling.py)
+    # interleaved-min estimator (VERDICT r3 #5 — the scripts/scaling.py
+    # protocol): this host's wall clock swings 2-5x run-to-run
+    # (oversubscribed VM), so each query is timed once per pass in query
+    # order, for SPARK_GRAFT_PASSES full passes (default 5), and the MIN per
+    # query is reported. Interleaving decorrelates a host-noise burst from
+    # any single query; the min over >=5 trials is the standard noisy-host
+    # estimator and was measured stable within ±20% across consecutive runs
+    # (BENCH.md r4 methodology note).
+    n_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "5"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name, fn in suite(spark, sf_dir).items():
             t0 = time.time()
             rows[name] = fn().count()
