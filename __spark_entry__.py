@@ -940,6 +940,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_matching"] = _matching
 
+    def _matching_k2(s, d):
+        # exact min-weight b-edge cover (n_matches=2) — VERDICT r3 #10;
+        # rows-only by design (global ILP, no SQL oracle), exactness pinned
+        # by the brute-force enumeration pytest
+        from libpysal_spark.operators.matching import spatial_matching
+
+        pts = _points(s, d, "supplier").filter(F.col("id") <= 14)
+        return _edges_out(spatial_matching(pts, n_matches=2))
+
+    q["spatial_matching_k2"] = _matching_k2
+
     # --- embedding near-duplicates (training-data op) ---
     # Exact all-pairs is tiled into B(B+1)/2 block-pair GEMM tasks (no
     # CartesianProduct / BroadcastNestedLoopJoin — plan-gated in
