@@ -557,25 +557,39 @@ def delaunay_triangles(
     params = _grid_params(pts, cells_per_side)
     halo = max(1, halo_cells)
     retries = 0
-    while True:
-        tagged = _tag_cells(pts, cells_per_side, halo, params, hull_ids)
-        ct = (
-            tagged.groupBy("cell")
-            .applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
-            .withColumn("__need", _halo_need(params, cells_per_side))
-            .localCheckpoint()  # reused by the agg below AND downstream; GC-reclaimed
-        )
-        if halo >= cells_per_side:
-            break  # full-grid halo: exact by construction
-        if not verify_halo:
-            break
-        need = ct.agg(F.max("__need")).first()[0] or 0.0
-        if need < halo - 1e-9:
-            break
-        # certificate failed somewhere: jump straight to the halo the worst
-        # disk requires (one retry instead of a +1 ladder)
-        halo = min(cells_per_side, max(halo + 1, math.floor(need) + 1))
-        retries += 1
+    # AQE coalesces shuffle partitions by BYTES; the per-cell triangulation
+    # is bytes-light but compute-heavy (numpy Bowyer–Watson per group), so
+    # coalescing collapses the cell groups onto a few tasks and serializes
+    # the build (measured: 64 cells -> 12 tasks at 100k points). Disable
+    # coalescing around the eager (localCheckpoint) builds only; restore
+    # after. On a real cluster, the same setting rides spark-submit conf.
+    spark = pts.sparkSession
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        while True:
+            tagged = _tag_cells(pts, cells_per_side, halo, params, hull_ids)
+            ct = (
+                tagged.repartition(cells_per_side * cells_per_side, "cell")
+                .groupBy("cell")
+                .applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
+                .withColumn("__need", _halo_need(params, cells_per_side))
+                .localCheckpoint()  # reused by the agg below AND downstream; GC-reclaimed
+            )
+            if halo >= cells_per_side:
+                break  # full-grid halo: exact by construction
+            if not verify_halo:
+                break
+            need = ct.agg(F.max("__need")).first()[0] or 0.0
+            if need < halo - 1e-9:
+                break
+            # certificate failed somewhere: jump straight to the halo the worst
+            # disk requires (one retry instead of a +1 ladder)
+            halo = min(cells_per_side, max(halo + 1, math.floor(need) + 1))
+            retries += 1
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
     full = halo >= cells_per_side
     if full:
         warnings.warn(

@@ -185,6 +185,12 @@ def knn(
     return Graph(resolve_isolates(edges, points.select("id")))
 
 
+#: Diagnostics of the most recent knn_table build — {"rounds", "residue",
+#: "cell_size"}; rehearsal/bench scripts report it (VERDICT r3 #1: ring-round
+#: count must be observable at scale).
+last_knn_info: dict = {}
+
+
 def knn_table(
     points: DataFrame,
     k: int,
@@ -338,6 +344,12 @@ def knn_table(
         unresolved = unresolved.join(ok_ids, "id", "left_anti")
         n_unresolved = unresolved.count()
         r *= 2
+        global last_knn_info
+        last_knn_info = {
+            "rounds": round_no + 1,
+            "residue": n_unresolved,
+            "cell_size": float(cell_size),
+        }
     all_pts.unpersist()
 
     if n_unresolved > 0:
