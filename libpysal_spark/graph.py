@@ -229,6 +229,32 @@ class Graph:
         return out, sorted(mapping, key=mapping.get)
 
     @classmethod
+    def from_networkx(cls, spark, graph, weight_attr: str = "weight") -> "Graph":
+        """networkx.Graph/DiGraph -> Graph (reference: graph/base.py:524-560).
+
+        Import-gated: networkx is not in this environment's image; the
+        adapter works wherever it is installed (driver-side, small graphs —
+        the same contract as the reference's converter)."""
+        try:
+            import networkx as nx  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without networkx
+            raise ImportError(
+                "from_networkx requires the networkx package on the driver"
+            ) from e
+        nodes = list(graph.nodes)
+        rows = []
+        for u, v, data in graph.edges(data=True):
+            w = float(data.get(weight_attr, 1.0))
+            rows.append((int(u), int(v), w))
+            if not graph.is_directed():
+                rows.append((int(v), int(u), w))
+        edges = spark.createDataFrame(
+            rows or [], schema="focal long, neighbor long, weight double"
+        )
+        ids_df = spark.createDataFrame([(int(n),) for n in nodes], "id long")
+        return cls(resolve_isolates(edges, ids_df))
+
+    @classmethod
     def from_dicts(cls, spark, neighbors: dict, weights: dict | None = None) -> "Graph":
         """Reference: graph/base.py:458 / weights/weights.py:134 dict form."""
         rows = []

@@ -314,6 +314,169 @@ CELL_TRIANGLE_SCHEMA = (
     "bx double, by double, cx double, cy double, ccx double, ccy double, r2 double"
 )
 
+V2_SCHEMA = (
+    "kind int, cell long, a long, b long, c long, ax double, ay double, "
+    "bx double, by double, cx double, cy double, ccx double, ccy double, r2 double"
+)
+
+
+def _disk_hull_extent(cc: np.ndarray, r2: np.ndarray, ring: np.ndarray):
+    """Exact bbox of (disk ∩ convex hull) per disk, vectorized.
+
+    cc: (m, 2) circumcenters; r2: (m,); ring: (K, 2) CCW OPEN hull ring.
+    Returns (xmin, xmax, ymin, ymax, nonempty) arrays. The extreme of the
+    intersection in any axis direction is attained at a disk axis-extreme
+    point (if inside the hull), a hull vertex (if inside the disk), or a
+    circle/hull-edge crossing — the complete candidate set below.
+
+    Clipping the circumdisk to the HULL (not the bbox) is what makes the
+    halo certificate usable at scale: a boundary triangle's empty disk
+    bulges into the point-free region outside the hull but inside the bbox;
+    bbox-clipping counted that region as 'required context' and escalated
+    the halo globally (the r3 ADVICE finding, reproduced at 100k points in
+    the r4 scale rehearsal). Points only exist inside the hull, so the hull
+    clip is exactly as sound and far tighter.
+    """
+    m = len(r2)
+    K = len(ring)
+    r = np.sqrt(np.maximum(r2, 0.0))
+    A = ring
+    B = np.roll(ring, -1, axis=0)
+    E = B - A  # (K,2)
+
+    cands_x: list[np.ndarray] = []
+    cands_y: list[np.ndarray] = []
+    valids: list[np.ndarray] = []
+
+    def inside_hull(px, py):
+        # (m, n) points vs all K edges: cross(E_k, p - A_k) >= -eps
+        cr = (
+            E[None, None, :, 0] * (py[..., None] - A[None, None, :, 1])
+            - E[None, None, :, 1] * (px[..., None] - A[None, None, :, 0])
+        )
+        return (cr >= -1e-9).all(axis=-1)
+
+    # disk axis extremes: (m, 4)
+    ex = np.stack([cc[:, 0] + r, cc[:, 0] - r, cc[:, 0], cc[:, 0]], axis=1)
+    ey = np.stack([cc[:, 1], cc[:, 1], cc[:, 1] + r, cc[:, 1] - r], axis=1)
+    cands_x.append(ex)
+    cands_y.append(ey)
+    valids.append(inside_hull(ex, ey))
+
+    # hull vertices inside disk: (m, K)
+    vx = np.broadcast_to(ring[None, :, 0], (m, K))
+    vy = np.broadcast_to(ring[None, :, 1], (m, K))
+    d2 = (vx - cc[:, [0]]) ** 2 + (vy - cc[:, [1]]) ** 2
+    cands_x.append(vx)
+    cands_y.append(vy)
+    valids.append(d2 <= r2[:, None] + 1e-9)
+
+    # circle x edge crossings: solve |A + tE - c|^2 = r^2 per (m, K)
+    a = (E * E).sum(1)[None, :]  # (1, K)
+    AmC_x = A[None, :, 0] - cc[:, [0]]
+    AmC_y = A[None, :, 1] - cc[:, [1]]
+    b = 2.0 * (E[None, :, 0] * AmC_x + E[None, :, 1] * AmC_y)
+    c0 = AmC_x**2 + AmC_y**2 - r2[:, None]
+    disc = b * b - 4.0 * a * c0
+    ok = (disc >= 0) & (a > 0)
+    sq = np.sqrt(np.where(ok, disc, 0.0))
+    for sgn in (-1.0, 1.0):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (-b + sgn * sq) / (2.0 * a)
+        tv = ok & (t >= -1e-12) & (t <= 1.0 + 1e-12)
+        px = A[None, :, 0] + t * E[None, :, 0]
+        py = A[None, :, 1] + t * E[None, :, 1]
+        cands_x.append(px)
+        cands_y.append(py)
+        valids.append(tv)
+
+    X = np.concatenate(cands_x, axis=1)
+    Y = np.concatenate(cands_y, axis=1)
+    V = np.concatenate(valids, axis=1)
+    nonempty = V.any(axis=1)
+    big = 1e30
+    xmin = np.where(V, X, big).min(axis=1)
+    xmax = np.where(V, X, -big).max(axis=1)
+    ymin = np.where(V, Y, big).min(axis=1)
+    ymax = np.where(V, Y, -big).max(axis=1)
+    return xmin, xmax, ymin, ymax, nonempty
+
+
+def _make_cell_tri_udf_v2(pvals, cells_per_side, halo, hull_ring):
+    """Per-cell triangulate + certify + emit for the v2 partitioned build.
+
+    Emits (kind=0) triangles whose min vertex is OWNED and OPEN and whose
+    hull-clipped circumdisk needs < halo cells of context (provably globally
+    Delaunay — every point that could invalidate it was shipped), plus
+    (kind=1) rows naming owned open points that remain OPEN (incident to an
+    uncertified triangle) for the next, wider round. ``halo=None`` certifies
+    everything (verify_halo=False fast path).
+    """
+    x0, x1, y0, y1, sx, sy = pvals
+    ring = np.asarray(hull_ring, dtype=float)
+
+    def udf(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        xy = pdf[["x", "y"]].to_numpy(dtype=float)
+        owned = set(pdf.loc[pdf["own"], "id"].tolist())
+        open_ = set(pdf.loc[pdf["own"] & pdf["__open"], "id"].tolist())
+        cell = int(pdf["cell"].iloc[0])
+        tris = np.array(_bowyer_watson_tris(ids, xy), dtype=np.int64)
+        cols = ["kind", "cell", "a", "b", "c", "ax", "ay", "bx", "by",
+                "cx", "cy", "ccx", "ccy", "r2"]
+        if len(tris) == 0:
+            rows = [(1, cell, int(p), 0, 0) + (0.0,) * 9 for p in sorted(open_)]
+            return pd.DataFrame(rows, columns=cols)
+        tids = ids[tris]  # (m, 3)
+        # restrict to triangles incident to >= 1 owned vertex
+        own_mask = np.isin(tids, list(owned)).any(axis=1)
+        tris, tids = tris[own_mask], tids[own_mask]
+        cco = _circum_batch(xy, tris)
+        cc, r2 = cco[:, :2], cco[:, 2]
+
+        if halo is None:
+            need = np.zeros(len(tris))
+            certified = np.ones(len(tris), dtype=bool)
+        else:
+            xmin, xmax, ymin, ymax, nonempty = _disk_hull_extent(cc, r2, ring)
+            cxi = cell // cells_per_side
+            cyi = cell % cells_per_side
+            nx = np.maximum(
+                (x0 + cxi * sx - np.maximum(xmin, x0)) / sx,
+                (np.minimum(xmax, x1) - x0 - (cxi + 1) * sx) / sx,
+            )
+            ny = np.maximum(
+                (y0 + cyi * sy - np.maximum(ymin, y0)) / sy,
+                (np.minimum(ymax, y1) - y0 - (cyi + 1) * sy) / sy,
+            )
+            need = np.where(nonempty, np.maximum(np.maximum(nx, ny), 0.0), 0.0)
+            certified = need < (halo - 1e-9)
+
+        min_ids = tids.min(axis=1)
+        emit = (
+            certified
+            & np.isin(min_ids, list(owned) or [-1])
+            & np.isin(min_ids, list(open_) or [-1])
+        )
+
+        rows = []
+        for t in np.nonzero(emit)[0]:
+            trip = sorted(zip(tids[t], tris[t]))
+            (a, pa), (b, pb), (c, pc) = trip
+            rows.append(
+                (0, cell, int(a), int(b), int(c),
+                 xy[pa][0], xy[pa][1], xy[pb][0], xy[pb][1], xy[pc][0], xy[pc][1],
+                 float(cc[t][0]), float(cc[t][1]), float(r2[t]))
+            )
+        # owned open points incident to any UNcertified triangle stay open
+        bad = tids[~certified].ravel()
+        still_open = sorted(open_.intersection(bad.tolist()))
+        for p in still_open:
+            rows.append((1, cell, int(p), 0, 0) + (0.0,) * 9)
+        return pd.DataFrame(rows, columns=cols)
+
+    return udf
+
 
 def _cell_tri_udf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Local triangulation of one macro cell: every local triangle incident
@@ -421,11 +584,14 @@ def _tag_cells(
     halo_cells: int,
     params: _GridParams | None = None,
     hull_ids: list | None = None,
+    ghost_pts: DataFrame | None = None,
 ) -> DataFrame:
     """(id, x, y, cell, own) — macro-cell assignment with halo + hull ghosts.
 
     ``hull_ids``: pre-computed global-hull ids (so the retry loop computes
-    the hull once, not per attempt)."""
+    the hull once, not per attempt). ``ghost_pts``: explicit ghost source —
+    REQUIRED when ``points`` is a filtered subset (the v2 straggler rounds),
+    because the hull rows must come from the full table."""
     spark = points.sparkSession
     pts = points.select("id", "x", "y")
     if cells_per_side == 1:
@@ -459,11 +625,11 @@ def _tag_cells(
         )
         # global hull points as ghosts in every cell (repairs hull-spanning
         # edges); tiny list -> broadcast cross join
-        if hull_ids is None:
-            hull_ids = global_hull_ids(pts)
-        hull_pts = F.broadcast(
-            pts.filter(F.col("id").isin(hull_ids)).select("id", "x", "y")
-        )
+        if ghost_pts is None:
+            if hull_ids is None:
+                hull_ids = global_hull_ids(pts)
+            ghost_pts = pts.filter(F.col("id").isin(hull_ids))
+        hull_pts = F.broadcast(ghost_pts.select("id", "x", "y"))
         all_cells = spark.range(cells_per_side * cells_per_side).select(
             F.col("id").alias("cell")
         )
@@ -555,54 +721,148 @@ def delaunay_triangles(
         return ct.drop("cell", "emit").distinct()
 
     params = _grid_params(pts, cells_per_side)
-    halo = max(1, halo_cells)
-    retries = 0
+    pvals = (params.x0, params.x1, params.y0, params.y1, params.sx, params.sy)
+    hull_rows = pts.filter(F.col("id").isin(hull_ids)).select("x", "y").collect()
+    hpts = [(float(r.x), float(r.y)) for r in hull_rows]
+    hcx = sum(p[0] for p in hpts) / len(hpts)
+    hcy = sum(p[1] for p in hpts) / len(hpts)
+    hull_ring = sorted(hpts, key=lambda p: math.atan2(p[1] - hcy, p[0] - hcx))
+
+    # v2 build (r4): per-POINT certification with per-round open-set
+    # shrinkage, instead of the r3 global whole-build retry. Each round:
+    # cells that still OWN an open point triangulate own+halo+hull-ghosts;
+    # a triangle is emitted iff its min vertex is owned AND open AND its
+    # hull-clipped circumdisk fits strictly inside the shipped context
+    # (then no unshipped point can invalidate it -> globally Delaunay, so
+    # FALSE triangles are never emitted); a point closes when every
+    # incident local triangle certifies (then its local star IS the true
+    # star: the certified star tiles the point's neighborhood with globally
+    # Delaunay triangles, and the Delaunay triangulation is unique), and
+    # every true triangle is emitted in its min vertex's closing round.
+    # Hull-ghost artifact triangles (giant disks over unshipped interior)
+    # fail certification and keep only their local owners open — the halo
+    # doubles for THOSE cells' next round, not for the whole build. The r3
+    # design escalated the global halo on any violation, which the 100k
+    # rehearsal showed degrades to full replication at scale.
+    #
     # AQE coalesces shuffle partitions by BYTES; the per-cell triangulation
-    # is bytes-light but compute-heavy (numpy Bowyer–Watson per group), so
-    # coalescing collapses the cell groups onto a few tasks and serializes
-    # the build (measured: 64 cells -> 12 tasks at 100k points). Disable
-    # coalescing around the eager (localCheckpoint) builds only; restore
-    # after. On a real cluster, the same setting rides spark-submit conf.
+    # is bytes-light but compute-heavy, so coalescing collapses the cell
+    # groups onto a few tasks (measured: 64 cells -> 12 tasks) — disabled
+    # around the eager builds.
     spark = pts.sparkSession
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
+    emitted = []
+    open_df = pts.select("id")
+    halo = max(1, halo_cells)
+    rounds = 0
+    open_trace = []
+    home_cx = F.least(
+        F.floor((F.col("x") - params.x0) / params.sx), F.lit(cells_per_side - 1)
+    )
+    home_cy = F.least(
+        F.floor((F.col("y") - params.y0) / params.sy), F.lit(cells_per_side - 1)
+    )
+    home_cell = home_cx * cells_per_side + home_cy
     try:
         while True:
-            tagged = _tag_cells(pts, cells_per_side, halo, params, hull_ids)
-            ct = (
-                tagged.repartition(cells_per_side * cells_per_side, "cell")
-                .groupBy("cell")
-                .applyInPandas(_cell_tri_udf, CELL_TRIANGLE_SCHEMA)
-                .withColumn("__need", _halo_need(params, cells_per_side))
-                .localCheckpoint()  # reused by the agg below AND downstream; GC-reclaimed
+            rounds += 1
+            if rounds == 1:
+                pts_sub = pts
+                active_set = None
+            else:
+                # active cells = home cells of still-open points (≤ cps² —
+                # collected to the driver); only points within `halo` cells
+                # of an active cell can be shipped into one, so the re-tag
+                # explode touches the straggler neighborhoods, not the world
+                act = {
+                    r.c
+                    for r in pts.join(open_df, "id", "left_semi")
+                    .select(home_cell.alias("c"))
+                    .distinct()
+                    .collect()
+                }
+                cps = cells_per_side
+                ship = set()
+                for c in act:
+                    cx_, cy_ = c // cps, c % cps
+                    for dx in range(-halo, halo + 1):
+                        for dy in range(-halo, halo + 1):
+                            tx, ty = cx_ + dx, cy_ + dy
+                            if 0 <= tx < cps and 0 <= ty < cps:
+                                ship.add(tx * cps + ty)
+                pts_sub = pts.filter(home_cell.isin([int(c) for c in ship]))
+                active_set = [int(c) for c in act]
+            tagged = _tag_cells(
+                pts_sub, cells_per_side, halo, params, hull_ids,
+                ghost_pts=pts.filter(F.col("id").isin(hull_ids)),
             )
-            if halo >= cells_per_side:
-                break  # full-grid halo: exact by construction
+            tg = (
+                tagged.join(
+                    open_df.withColumn("__open", F.lit(True)), "id", "left"
+                )
+                .withColumn("__open", F.coalesce(F.col("__open"), F.lit(False)))
+            )
+            if active_set is None:
+                active = (
+                    tg.filter(F.col("own") & F.col("__open"))
+                    .select("cell")
+                    .distinct()
+                )
+                tg = tg.join(active, "cell", "left_semi")
+            else:
+                tg = tg.filter(F.col("cell").isin(active_set))
+            udf = _make_cell_tri_udf_v2(
+                pvals, cells_per_side, None if not verify_halo else halo, hull_ring
+            )
+            out = (
+                tg.repartition(cells_per_side * cells_per_side, "cell")
+                .groupBy("cell")
+                .applyInPandas(udf, V2_SCHEMA)
+                .localCheckpoint()
+            )
+            emitted.append(
+                out.filter(F.col("kind") == 0).select(
+                    "a", "b", "c", "ax", "ay", "bx", "by", "cx", "cy",
+                    "ccx", "ccy", "r2",
+                )
+            )
             if not verify_halo:
+                open_trace.append(0)
                 break
-            need = ct.agg(F.max("__need")).first()[0] or 0.0
-            if need < halo - 1e-9:
+            open_df = out.filter(F.col("kind") == 1).select("a").select(
+                F.col("a").alias("id")
+            )
+            n_open = open_df.count()
+            open_trace.append(n_open)
+            if n_open == 0:
                 break
-            # certificate failed somewhere: jump straight to the halo the worst
-            # disk requires (one retry instead of a +1 ladder)
-            halo = min(cells_per_side, max(halo + 1, math.floor(need) + 1))
-            retries += 1
+            if halo >= cells_per_side:
+                warnings.warn(
+                    f"partitioned Delaunay: {n_open} points still open at "
+                    "full-grid halo — should be impossible; emitting anyway"
+                )
+                break
+            halo = min(cells_per_side, halo * 2)
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
     full = halo >= cells_per_side
     if full:
         warnings.warn(
             f"partitioned Delaunay escalated to halo={halo} == cells_per_side "
-            f"after {retries} retries — every cell shipped the full point set "
-            "(exact, but no longer sub-replicated); consider fewer cells or "
-            "jittering near-cocircular inputs"
+            f"(round {rounds}) — the straggler cells shipped the full point "
+            "set; consider fewer cells or jittering near-cocircular inputs"
         )
     last_build_info = {
-        "mode": "partitioned", "halo": halo, "retries": retries,
+        "mode": "partitioned", "halo": halo, "retries": rounds - 1,
+        "rounds": rounds, "open_trace": open_trace,
         "hull_size": len(hull_ids), "full_replication": full,
     }
-    return ct.filter(F.col("emit")).drop("cell", "emit", "__need").distinct()
+    tris = emitted[0]
+    for e in emitted[1:]:
+        tris = tris.unionByName(e)
+    return tris.distinct()
 
 
 def alpha_shape_triangles(points: DataFrame, alpha: float, cells_per_side: int = 1) -> DataFrame:

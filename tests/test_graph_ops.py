@@ -331,3 +331,22 @@ def test_from_dense_from_sparse_roundtrip(spark):
     gb = Graph.from_dense(spark, w2.astype(bool))
     bb, _ = gb.to_dense()
     assert np.allclose(bb, w2)
+
+
+def test_from_networkx_gated(spark):
+    """Import-gated adapter: works if networkx is present, raises a clear
+    ImportError otherwise (env has no networkx; both paths covered)."""
+    try:
+        import networkx as nx
+        g = nx.Graph()
+        g.add_edge(0, 1, weight=2.0)
+        g.add_node(5)
+        got = Graph.from_networkx(spark, g)
+        rows = {(r.focal, r.neighbor): r.weight for r in got.edges.collect()}
+        assert rows[(0, 1)] == 2.0 and rows[(1, 0)] == 2.0
+        assert rows[(5, 5)] == 0.0
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="networkx"):
+            Graph.from_networkx(spark, None)
