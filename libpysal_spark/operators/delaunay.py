@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from libpysal_spark.graph import Graph, resolve_isolates
@@ -459,20 +459,26 @@ def _make_cell_tri_udf_v2(pvals, cells_per_side, halo, hull_ring):
             & np.isin(min_ids, list(open_) or [-1])
         )
 
-        rows = []
-        for t in np.nonzero(emit)[0]:
+        def tri_row(kind, t):
             trip = sorted(zip(tids[t], tris[t]))
             (a, pa), (b, pb), (c, pc) = trip
-            rows.append(
-                (0, cell, int(a), int(b), int(c),
-                 xy[pa][0], xy[pa][1], xy[pb][0], xy[pb][1], xy[pc][0], xy[pc][1],
-                 float(cc[t][0]), float(cc[t][1]), float(r2[t]))
+            return (
+                kind, cell, int(a), int(b), int(c),
+                xy[pa][0], xy[pa][1], xy[pb][0], xy[pb][1], xy[pc][0], xy[pc][1],
+                float(cc[t][0]), float(cc[t][1]), float(r2[t]),
             )
-        # owned open points incident to any UNcertified triangle stay open
+
+        rows = [tri_row(0, t) for t in np.nonzero(emit)[0]]
+        # owned open points incident to any UNcertified triangle stay open;
+        # those uncertified CANDIDATE triangles are exported (kind=2) for
+        # the broadcast empty-disk verification phase
+        open_list = list(open_) or [-1]
+        uncert_open = ~certified & np.isin(tids, open_list).any(axis=1)
         bad = tids[~certified].ravel()
         still_open = sorted(open_.intersection(bad.tolist()))
         for p in still_open:
             rows.append((1, cell, int(p), 0, 0) + (0.0,) * 9)
+        rows.extend(tri_row(2, t) for t in np.nonzero(uncert_open)[0])
         return pd.DataFrame(rows, columns=cols)
 
     return udf
@@ -765,98 +771,184 @@ def delaunay_triangles(
         F.floor((F.col("y") - params.y0) / params.sy), F.lit(cells_per_side - 1)
     )
     home_cell = home_cx * cells_per_side + home_cy
+    cps = cells_per_side
+    ghost_src = pts.filter(F.col("id").isin(hull_ids))
+    witnesses = None  # (cell, id, x, y) extra context for straggler cells
+    witness_rounds = 0
+    TRI_COLS = ["a", "b", "c", "ax", "ay", "bx", "by", "cx", "cy",
+                "ccx", "ccy", "r2"]
+
+    def build_round(open_local, halo_local, first):
+        """One distributed per-cell pass; returns the checkpointed output."""
+        if first:
+            pts_sub = pts
+            active_set = None
+        else:
+            act = {
+                r.c
+                for r in pts.join(open_local, "id", "left_semi")
+                .select(home_cell.alias("c"))
+                .distinct()
+                .collect()
+            }
+            ship = set()
+            for c in act:
+                cx_, cy_ = c // cps, c % cps
+                for dx in range(-halo_local, halo_local + 1):
+                    for dy in range(-halo_local, halo_local + 1):
+                        tx, ty = cx_ + dx, cy_ + dy
+                        if 0 <= tx < cps and 0 <= ty < cps:
+                            ship.add(tx * cps + ty)
+            pts_sub = pts.filter(home_cell.isin([int(c) for c in ship]))
+            active_set = [int(c) for c in act]
+        tagged = _tag_cells(
+            pts_sub, cps, halo_local, params, hull_ids, ghost_pts=ghost_src
+        )
+        if witnesses is not None:
+            tagged = tagged.unionByName(
+                witnesses.select(
+                    "id", "x", "y", "cell",
+                    F.lit(False).alias("own"),
+                )
+            ).groupBy("id", "cell").agg(
+                F.first("x").alias("x"), F.first("y").alias("y"),
+                F.max("own").alias("own"),
+            )
+        tg = (
+            tagged.join(open_local.withColumn("__open", F.lit(True)), "id", "left")
+            .withColumn("__open", F.coalesce(F.col("__open"), F.lit(False)))
+        )
+        if active_set is None:
+            active = (
+                tg.filter(F.col("own") & F.col("__open")).select("cell").distinct()
+            )
+            tg = tg.join(active, "cell", "left_semi")
+        else:
+            tg = tg.filter(F.col("cell").isin(active_set))
+        udf = _make_cell_tri_udf_v2(
+            pvals, cps, None if not verify_halo else halo_local, hull_ring
+        )
+        return (
+            tg.repartition(cps * cps, "cell")
+            .groupBy("cell")
+            .applyInPandas(udf, V2_SCHEMA)
+            .localCheckpoint()
+        )
+
+    # above this many open points the witness candidate set would be too
+    # big to broadcast — fall back to one wider grid round first
+    WITNESS_OPEN_CAP = 20_000
     try:
+        # ---- phase 1: grid round(s) at the initial halo ----------------
         while True:
             rounds += 1
-            if rounds == 1:
-                pts_sub = pts
-                active_set = None
-            else:
-                # active cells = home cells of still-open points (≤ cps² —
-                # collected to the driver); only points within `halo` cells
-                # of an active cell can be shipped into one, so the re-tag
-                # explode touches the straggler neighborhoods, not the world
-                act = {
-                    r.c
-                    for r in pts.join(open_df, "id", "left_semi")
-                    .select(home_cell.alias("c"))
-                    .distinct()
-                    .collect()
-                }
-                cps = cells_per_side
-                ship = set()
-                for c in act:
-                    cx_, cy_ = c // cps, c % cps
-                    for dx in range(-halo, halo + 1):
-                        for dy in range(-halo, halo + 1):
-                            tx, ty = cx_ + dx, cy_ + dy
-                            if 0 <= tx < cps and 0 <= ty < cps:
-                                ship.add(tx * cps + ty)
-                pts_sub = pts.filter(home_cell.isin([int(c) for c in ship]))
-                active_set = [int(c) for c in act]
-            tagged = _tag_cells(
-                pts_sub, cells_per_side, halo, params, hull_ids,
-                ghost_pts=pts.filter(F.col("id").isin(hull_ids)),
-            )
-            tg = (
-                tagged.join(
-                    open_df.withColumn("__open", F.lit(True)), "id", "left"
-                )
-                .withColumn("__open", F.coalesce(F.col("__open"), F.lit(False)))
-            )
-            if active_set is None:
-                active = (
-                    tg.filter(F.col("own") & F.col("__open"))
-                    .select("cell")
-                    .distinct()
-                )
-                tg = tg.join(active, "cell", "left_semi")
-            else:
-                tg = tg.filter(F.col("cell").isin(active_set))
-            udf = _make_cell_tri_udf_v2(
-                pvals, cells_per_side, None if not verify_halo else halo, hull_ring
-            )
-            out = (
-                tg.repartition(cells_per_side * cells_per_side, "cell")
-                .groupBy("cell")
-                .applyInPandas(udf, V2_SCHEMA)
-                .localCheckpoint()
-            )
-            emitted.append(
-                out.filter(F.col("kind") == 0).select(
-                    "a", "b", "c", "ax", "ay", "bx", "by", "cx", "cy",
-                    "ccx", "ccy", "r2",
-                )
-            )
+            out = build_round(open_df, halo, rounds == 1)
+            emitted.append(out.filter(F.col("kind") == 0).select(*TRI_COLS))
             if not verify_halo:
                 open_trace.append(0)
                 break
-            open_df = out.filter(F.col("kind") == 1).select("a").select(
-                F.col("a").alias("id")
-            )
+            open_df = out.filter(F.col("kind") == 1).select(F.col("a").alias("id"))
             n_open = open_df.count()
             open_trace.append(n_open)
+            if n_open == 0 or halo >= cps:
+                break
+            if n_open <= WITNESS_OPEN_CAP:
+                break  # hand the stragglers to the witness phase
+            halo = min(cps, halo * 2)
+
+        # ---- phase 2: broadcast empty-disk verification + witnesses ----
+        # The remaining open points are hull-adjacent stars whose candidate
+        # triangles have big circumdisks (r3's design here doubled the halo
+        # until whole cells shipped everything). Instead: the UNCERTIFIED
+        # candidate triangles (kind=2, a small set) are verified DIRECTLY —
+        # broadcast them against the full point table and test circumdisk
+        # emptiness. Empty -> globally Delaunay -> emit, no shipping at
+        # all. Non-empty -> the refuting points ARE the missing context:
+        # the nearest ones are shipped to the cell as witnesses and the
+        # cell re-triangulates. Each refuted candidate's disk gains a
+        # shipped witness, so it cannot reappear; the local star converges
+        # to the true star. Cost per round: one scan of the point table
+        # against a broadcast candidate list with a bbox prefilter.
+        MAX_WITNESS_ROUNDS = 12
+        WITNESSES_PER_CAND = 64
+        while verify_halo and open_trace and open_trace[-1] > 0 and halo < cps:
+            if witness_rounds >= MAX_WITNESS_ROUNDS:
+                # loud fallback, never silent: full-context pass for the
+                # leftover cells (exact by construction)
+                warnings.warn(
+                    f"partitioned Delaunay: {open_trace[-1]} points still "
+                    f"open after {witness_rounds} witness rounds — final "
+                    "full-halo pass for their cells"
+                )
+                halo = cps
+                rounds += 1
+                out = build_round(open_df, halo, False)
+                emitted.append(out.filter(F.col("kind") == 0).select(*TRI_COLS))
+                open_trace.append(0)
+                break
+            cands = out.filter(F.col("kind") == 2).select("cell", *TRI_COLS).distinct()
+            r_col = F.sqrt(F.greatest(F.col("r2"), F.lit(0.0)))
+            cb = F.broadcast(
+                cands.select(
+                    "cell", "a", "b", "c", "ccx", "ccy", "r2",
+                    (F.col("ccx") - r_col).alias("__bx0"),
+                    (F.col("ccx") + r_col).alias("__bx1"),
+                    (F.col("ccy") - r_col).alias("__by0"),
+                    (F.col("ccy") + r_col).alias("__by1"),
+                )
+            )
+            hits = (
+                pts.join(
+                    cb,
+                    (F.col("x") >= F.col("__bx0")) & (F.col("x") <= F.col("__bx1"))
+                    & (F.col("y") >= F.col("__by0")) & (F.col("y") <= F.col("__by1")),
+                )
+                .filter(
+                    (F.col("id") != F.col("a")) & (F.col("id") != F.col("b"))
+                    & (F.col("id") != F.col("c"))
+                )
+                .withColumn(
+                    "__d2",
+                    (F.col("x") - F.col("ccx")) ** 2 + (F.col("y") - F.col("ccy")) ** 2,
+                )
+                .filter(F.col("__d2") < F.col("r2") * (1 - 1e-12))
+                .localCheckpoint()
+            )
+            refuted = hits.select("cell", "a", "b", "c").distinct()
+            verified = cands.join(refuted, ["cell", "a", "b", "c"], "left_anti")
+            emitted.append(verified.select(*TRI_COLS))
+            # open points whose every candidate verified -> closed
+            ref_ids = (
+                refuted.select(F.explode(F.array("a", "b", "c")).alias("id")).distinct()
+            )
+            open_df = open_df.join(ref_ids, "id", "left_semi").localCheckpoint()
+            n_open = open_df.count()
+            open_trace.append(n_open)
+            witness_rounds += 1
             if n_open == 0:
                 break
-            if halo >= cells_per_side:
-                warnings.warn(
-                    f"partitioned Delaunay: {n_open} points still open at "
-                    "full-grid halo — should be impossible; emitting anyway"
-                )
-                break
-            halo = min(cells_per_side, halo * 2)
+            wnd = Window.partitionBy("cell", "a", "b", "c").orderBy("__d2", "id")
+            new_w = (
+                hits.withColumn("__rk", F.row_number().over(wnd))
+                .filter(F.col("__rk") <= WITNESSES_PER_CAND)
+                .select("cell", "id", "x", "y")
+                .distinct()
+            )
+            witnesses = (
+                new_w if witnesses is None
+                else witnesses.unionByName(new_w).distinct()
+            ).localCheckpoint()
+            rounds += 1
+            out = build_round(open_df, halo, False)
+            emitted.append(out.filter(F.col("kind") == 0).select(*TRI_COLS))
+            open_df = out.filter(F.col("kind") == 1).select(F.col("a").alias("id"))
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
-    full = halo >= cells_per_side
-    if full:
-        warnings.warn(
-            f"partitioned Delaunay escalated to halo={halo} == cells_per_side "
-            f"(round {rounds}) — the straggler cells shipped the full point "
-            "set; consider fewer cells or jittering near-cocircular inputs"
-        )
+    full = halo >= cps
     last_build_info = {
         "mode": "partitioned", "halo": halo, "retries": rounds - 1,
-        "rounds": rounds, "open_trace": open_trace,
+        "rounds": rounds, "witness_rounds": witness_rounds,
+        "open_trace": open_trace,
         "hull_size": len(hull_ids), "full_replication": full,
     }
     tris = emitted[0]

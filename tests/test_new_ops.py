@@ -207,8 +207,12 @@ def test_spatial_matching_small_n(spark):
     got = _real(spatial_matching(pts))
     assert (3, 4) in got and (0, 1) in got
     assert (2, 1) in got  # 2 covered via its cheapest edge
-    with pytest.raises(NotImplementedError):
-        spatial_matching(pts, n_matches=2)
+    # n_matches=2 is implemented since r4 (exact B&B) — degree invariant
+    g2 = _real(spatial_matching(pts, n_matches=2))
+    deg = {}
+    for a, b in g2:
+        deg[a] = deg.get(a, 0) + 1
+    assert all(deg[i] >= 2 for i in range(5))
 
 
 def test_arc_distance_band_matches_brute(spark):
