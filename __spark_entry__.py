@@ -923,6 +923,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["voronoi_hull_cells"] = _voronoi_hull_cells
 
+    def _voronoi_alpha_cells(s, d):
+        # non-convex clip='alpha_shape' via triangle decomposition — the
+        # alpha complex partitions the shape, so Σ clipped cell areas ==
+        # Σ alpha-triangle areas (pinned exactly in pytest; rows-only here:
+        # alpha triangles are not SQL-derivable)
+        from libpysal_spark.operators.delaunay import voronoi_alpha_clip_areas
+
+        out = voronoi_alpha_clip_areas(
+            _points(s, d, "supplier"), alpha=0.02, cells_per_side=TRI_CELLS
+        )
+        return out.select(
+            "id", F.round(F.col("area") + 1e-9, 4).alias("area")
+        ).orderBy("id")
+
+    q["voronoi_alpha_cells"] = _voronoi_alpha_cells
+
     def _alpha(s, d):
         from libpysal_spark.operators.delaunay import alpha_shape_edges
 

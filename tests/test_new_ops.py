@@ -410,3 +410,36 @@ def test_spatial_matching_k2_caps_and_validation(spark):
     )
     with pytest.raises(ValueError, match="n_matches"):
         spatial_matching(small, n_matches=2)
+
+
+def test_voronoi_alpha_clip_decomposition(spark):
+    """clip='alpha_shape' analog: the alpha complex's triangles partition
+    the shape, so Σ per-cell clipped areas == Σ triangle areas exactly."""
+    from libpysal_spark.operators.delaunay import (
+        alpha_shape_triangles,
+        voronoi_alpha_clip_areas,
+    )
+
+    rows = [(i, float((i * 37) % 97), float((i * 61) % 89)) for i in range(60)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    alpha = 0.05  # keeps triangles with circumradius < 20
+    tris = alpha_shape_triangles(pts, alpha).collect()
+    assert len(tris) > 10
+    tri_area = sum(
+        abs(
+            (r.bx - r.ax) * (r.cy - r.ay) - (r.cx - r.ax) * (r.by - r.ay)
+        ) / 2.0
+        for r in tris
+    )
+    out = voronoi_alpha_clip_areas(pts, alpha).collect()
+    total = sum(r.area for r in out)
+    assert abs(total - tri_area) < 1e-6 * tri_area
+    # cells exist for most sites; none exceed their unclipped voronoi area
+    from libpysal_spark.operators.delaunay import voronoi_polygons
+
+    full = {
+        r.id: [(v.x, v.y) for v in r.vertices]
+        for r in voronoi_polygons(pts, clip="extent").collect()
+    }
+    for r in out:
+        assert r.area <= _shoelace(full[r.id]) + 1e-9
