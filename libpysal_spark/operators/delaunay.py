@@ -36,9 +36,45 @@ from pyspark.sql import functions as F
 
 from libpysal_spark.graph import Graph, resolve_isolates
 
+# width of the "on the circumcircle" band shared by the local Bowyer-Watson
+# incircle test and the broadcast empty-disk verification, as a fraction of
+# the data scale (extent/coordinate magnitude). In DISTANCE units: a point
+# within EPS_COCIRC*scale of the circle counts as cocircular — comfortably
+# above circumcenter arithmetic noise (~1e-13*scale measured on a worst-case
+# all-cocircular fixture), far below genuine point separations. The band must
+# be absolute, NOT relative to r2: near-collinear hull triangles have giant
+# circumradii, and an r2-relative band would classify points metres away from
+# the circle as "cocircular". A small r2-relative term (1e-12) is kept for
+# those giant disks, matching the pre-band refutation margin.
+EPS_COCIRC = 1e-9
+EPS_R2_REL = 1e-12
 
-def _bowyer_watson_tris(ids: np.ndarray, xy: np.ndarray) -> list[tuple[int, int, int]]:
-    """Delaunay triangles as index triples into (ids, xy) via Bowyer-Watson."""
+
+def _band_d2(r2, eps_abs):
+    """Half-width of the cocircular band in d^2 units for circumradius^2 r2
+    (numpy arrays): max(r2*EPS_R2_REL, 2*r*eps_abs)."""
+    return np.maximum(
+        r2 * EPS_R2_REL, 2.0 * np.sqrt(np.maximum(r2, 0.0)) * eps_abs
+    )
+
+_TWO_PI = 2.0 * np.pi
+
+
+def _posmod_2pi(col: F.Column) -> F.Column:
+    """Angle difference normalized into [0, 2*pi)."""
+    return col - F.floor(col / _TWO_PI) * _TWO_PI
+
+
+def _bowyer_watson_tris(
+    ids: np.ndarray, xy: np.ndarray, eps_abs: float | None = None
+) -> list[tuple[int, int, int]]:
+    """Delaunay triangles as index triples into (ids, xy) via Bowyer-Watson.
+
+    ``eps_abs`` is the absolute cocircular band half-width in distance units;
+    the partitioned build passes the GLOBAL-scale value so every cell (and
+    the broadcast verification) classifies borderline points identically —
+    a cell-local default would disagree with the verification at the margin
+    and livelock the witness loop."""
     n = len(ids)
     if n < 3:
         return []
@@ -49,6 +85,12 @@ def _bowyer_watson_tris(ids: np.ndarray, xy: np.ndarray) -> list[tuple[int, int,
 
     # super-triangle far outside the bbox
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    # data scale for the cocircular band: extent or coordinate magnitude,
+    # whichever dominates the arithmetic noise
+    if eps_abs is None:
+        eps_abs = EPS_COCIRC * max(
+            pts[:, 0].ptp(), pts[:, 1].ptp(), float(np.abs(pts).max()), 1.0
+        )
     span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1000.0
     sup = np.array(
         [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]]
@@ -65,7 +107,18 @@ def _bowyer_watson_tris(ids: np.ndarray, xy: np.ndarray) -> list[tuple[int, int,
 
     for pi in range(n):
         px, py = all_pts[pi]
-        bad_mask = (px - ccs[:, 0]) ** 2 + (py - ccs[:, 1]) ** 2 <= ccs[:, 2]
+        # inclusive incircle test with a noise-immune band (ADVICE r4 #2):
+        # with the bare `<= r2`, exactly-cocircular points fall on either
+        # side by ~1e-14 relative arithmetic noise, which (a) yields invalid
+        # overlapping triangulations of cocircular sets (measured: 241 tris
+        # for 40 points on a circle vs the 38 of a valid one) and (b) makes
+        # the tie-break depend on the super-triangle, i.e. on WHICH subset
+        # of points a macro cell holds. With the band, a cocircular set
+        # always resolves to the fan from its lex-max (last-inserted) point
+        # — canonical and subset-independent, which the broadcast empty-disk
+        # verification mirrors exactly.
+        d2 = (px - ccs[:, 0]) ** 2 + (py - ccs[:, 1]) ** 2
+        bad_mask = d2 <= ccs[:, 2] + _band_d2(ccs[:, 2], eps_abs)
         bad = tris[bad_mask]
         # boundary of the cavity: edges appearing exactly once among bad tris
         # (the cavity is small — O(1) expected — so a dict is fine here)
@@ -414,6 +467,11 @@ def _make_cell_tri_udf_v2(pvals, cells_per_side, halo, hull_ring):
     """
     x0, x1, y0, y1, sx, sy = pvals
     ring = np.asarray(hull_ring, dtype=float)
+    # GLOBAL-scale cocircular band: must match the broadcast verification's
+    # g_eps_abs exactly (same formula over the same global extent)
+    g_eps_abs = EPS_COCIRC * max(
+        x1 - x0, y1 - y0, abs(x0), abs(x1), abs(y0), abs(y1), 1.0
+    )
 
     def udf(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
@@ -421,7 +479,7 @@ def _make_cell_tri_udf_v2(pvals, cells_per_side, halo, hull_ring):
         owned = set(pdf.loc[pdf["own"], "id"].tolist())
         open_ = set(pdf.loc[pdf["own"] & pdf["__open"], "id"].tolist())
         cell = int(pdf["cell"].iloc[0])
-        tris = np.array(_bowyer_watson_tris(ids, xy), dtype=np.int64)
+        tris = np.array(_bowyer_watson_tris(ids, xy, g_eps_abs), dtype=np.int64)
         cols = ["kind", "cell", "a", "b", "c", "ax", "ay", "bx", "by",
                 "cx", "cy", "ccx", "ccy", "r2"]
         if len(tris) == 0:
@@ -431,6 +489,14 @@ def _make_cell_tri_udf_v2(pvals, cells_per_side, halo, hull_ring):
         # restrict to triangles incident to >= 1 owned vertex
         own_mask = np.isin(tids, list(owned)).any(axis=1)
         tris, tids = tris[own_mask], tids[own_mask]
+        # canonical vertex order (sorted by id) BEFORE the circumcircle: the
+        # circumcenter formula is not permutation-invariant at the last bit,
+        # so the same triangle emitted from two cells/rounds must compute
+        # (ccx, ccy, r2) from the identical vertex order or the final
+        # key-dedup leaves float-twin duplicate rows (ADVICE r4 #1)
+        vord = np.argsort(tids, axis=1, kind="stable")
+        tids = np.take_along_axis(tids, vord, axis=1)
+        tris = np.take_along_axis(tris, vord, axis=1)
         cco = _circum_batch(xy, tris)
         cc, r2 = cco[:, :2], cco[:, 2]
 
@@ -460,8 +526,9 @@ def _make_cell_tri_udf_v2(pvals, cells_per_side, halo, hull_ring):
         )
 
         def tri_row(kind, t):
-            trip = sorted(zip(tids[t], tris[t]))
-            (a, pa), (b, pb), (c, pc) = trip
+            # tids/tris are already in canonical (id-sorted) order
+            a, b, c = tids[t]
+            pa, pb, pc = tris[t]
             return (
                 kind, cell, int(a), int(b), int(c),
                 xy[pa][0], xy[pa][1], xy[pb][0], xy[pb][1], xy[pc][0], xy[pc][1],
@@ -888,14 +955,74 @@ def delaunay_triangles(
                 break
             cands = out.filter(F.col("kind") == 2).select("cell", *TRI_COLS).distinct()
             r_col = F.sqrt(F.greatest(F.col("r2"), F.lit(0.0)))
+            # Cocircular tie-break, mirroring the local build exactly (ADVICE
+            # r4 #2). With the EPS_COCIRC band, the local Bowyer-Watson
+            # resolves any cocircular set S to the fan from S's lex-max
+            # (x, y, id) point, so a candidate T=(m,u,v) (m = lex-max vertex)
+            # is globally canonical iff (a) no point is strictly inside its
+            # disk, (b) no ON-circle point is lex-greater than m (else the
+            # true fan apexes there), and (c) no ON-circle point lies on the
+            # open arc between u and v that avoids m (else u,v are not
+            # angularly adjacent in S and T is not a fan triangle). The
+            # refutation filter is the complement of (a)&(b)&(c).
+            vmax = F.greatest(
+                F.struct(F.col("ax").alias("lx"), F.col("ay").alias("ly"),
+                         F.col("a").alias("li")),
+                F.struct(F.col("bx").alias("lx"), F.col("by").alias("ly"),
+                         F.col("b").alias("li")),
+                F.struct(F.col("cx").alias("lx"), F.col("cy").alias("ly"),
+                         F.col("c").alias("li")),
+            )
+            tha = F.atan2(F.col("ay") - F.col("ccy"), F.col("ax") - F.col("ccx"))
+            thb = F.atan2(F.col("by") - F.col("ccy"), F.col("bx") - F.col("ccx"))
+            thc = F.atan2(F.col("cy") - F.col("ccy"), F.col("cx") - F.col("ccx"))
+            is_max_a = (F.col("__vmax.li") == F.col("a"))
+            is_max_b = (F.col("__vmax.li") == F.col("b"))
+            thm = F.when(is_max_a, tha).when(is_max_b, thb).otherwise(thc)
+            thu = F.when(is_max_a, thb).otherwise(tha)
+            thv = F.when(is_max_a | is_max_b, thc).otherwise(thb)
             cb = F.broadcast(
-                cands.select(
+                cands.withColumn("__vmax", vmax)
+                .withColumn("__thu", thu)
+                .withColumn("__dv", _posmod_2pi(thv - F.col("__thu")))
+                .withColumn("__dm", _posmod_2pi(thm - F.col("__thu")))
+                .select(
                     "cell", "a", "b", "c", "ccx", "ccy", "r2",
+                    "__vmax", "__thu", "__dv", "__dm",
                     (F.col("ccx") - r_col).alias("__bx0"),
                     (F.col("ccx") + r_col).alias("__bx1"),
                     (F.col("ccy") - r_col).alias("__by0"),
                     (F.col("ccy") + r_col).alias("__by1"),
                 )
+            )
+            # cocircular band in d^2 units, matching the local build's
+            # _band_d2 (absolute-distance component + giant-disk relative
+            # component); the global data scale mirrors the per-cell one
+            g_eps_abs = EPS_COCIRC * max(
+                params.x1 - params.x0, params.y1 - params.y0,
+                abs(params.x0), abs(params.x1),
+                abs(params.y0), abs(params.y1), 1.0,
+            )
+            band = F.greatest(
+                F.col("r2") * EPS_R2_REL,
+                2.0 * F.sqrt(F.greatest(F.col("r2"), F.lit(0.0)))
+                * F.lit(g_eps_abs),
+            )
+            strict_in = F.col("__d2") < F.col("r2") - band
+            on_circle = (~strict_in) & (F.col("__d2") <= F.col("r2") + band)
+            q_lex = F.struct(
+                F.col("x").alias("lx"), F.col("y").alias("ly"),
+                F.col("id").alias("li"),
+            )
+            dq = _posmod_2pi(
+                F.atan2(F.col("y") - F.col("ccy"), F.col("x") - F.col("ccx"))
+                - F.col("__thu")
+            )
+            arc_hit = (
+                (F.col("__dm") > F.col("__dv"))
+                & (dq > 0) & (dq < F.col("__dv"))
+            ) | (
+                (F.col("__dm") < F.col("__dv")) & (dq > F.col("__dv"))
             )
             hits = (
                 pts.join(
@@ -911,7 +1038,10 @@ def delaunay_triangles(
                     "__d2",
                     (F.col("x") - F.col("ccx")) ** 2 + (F.col("y") - F.col("ccy")) ** 2,
                 )
-                .filter(F.col("__d2") < F.col("r2") * (1 - 1e-12))
+                .filter(
+                    strict_in
+                    | (on_circle & ((q_lex > F.col("__vmax")) | arc_hit))
+                )
                 .localCheckpoint()
             )
             refuted = hits.select("cell", "a", "b", "c").distinct()
@@ -954,7 +1084,14 @@ def delaunay_triangles(
     tris = emitted[0]
     for e in emitted[1:]:
         tris = tris.unionByName(e)
-    return tris.distinct()
+    # dedup by the (a, b, c) KEY, not distinct() over float columns: the
+    # canonical-order circumcircle makes re-emissions bit-identical, and the
+    # key groupBy guarantees one row per triangle even if a float column ever
+    # diverged at the last bit (ADVICE r4 #1) — same single shuffle as
+    # distinct()
+    return tris.groupBy("a", "b", "c").agg(
+        *[F.first(c).alias(c) for c in TRI_COLS if c not in ("a", "b", "c")]
+    )
 
 
 def alpha_shape_triangles(points: DataFrame, alpha: float, cells_per_side: int = 1) -> DataFrame:

@@ -213,3 +213,36 @@ def test_partitioned_delaunay_matches_exact_on_fixture(spark):
     exact = set(map(tuple, delaunay(pts).edges.collect()))
     part = set(map(tuple, delaunay(pts, cells_per_side=4).edges.collect()))
     assert part == exact
+
+
+def test_cocircular_canonical_fan(spark):
+    """ADVICE r4 #1/#2: exactly-cocircular points must resolve to ONE valid
+    triangulation — the canonical fan from the lex-max point — identically in
+    the single-cell and partitioned builds, with no float-twin duplicate
+    triangles or overlapping diagonals surviving the key dedup."""
+    import math
+
+    from libpysal_spark.operators.delaunay import delaunay, delaunay_triangles
+
+    n = 40
+    rows = [
+        (i, 50.0 + 40.0 * math.cos(2 * math.pi * i / n + 0.1),
+         50.0 + 40.0 * math.sin(2 * math.pi * i / n + 0.1))
+        for i in range(n)
+    ]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    tris = delaunay_triangles(pts, cells_per_side=1).select("a", "b", "c").collect()
+    # a valid triangulation of n cocircular (all-hull) points has n-2 faces
+    assert len(tris) == n - 2
+    # canonical fan: every triangle contains the lex-max point (max x here)
+    lexmax = max(range(n), key=lambda i: (rows[i][1], rows[i][2], i))
+    assert all(lexmax in (t.a, t.b, t.c) for t in tris)
+
+    e1 = {(r.focal, r.neighbor)
+          for r in delaunay(pts).edges.filter("focal < neighbor").collect()}
+    e3 = {(r.focal, r.neighbor)
+          for r in delaunay(pts, cells_per_side=3).edges
+          .filter("focal < neighbor").collect()}
+    assert len(e1) == 2 * n - 3  # fan: n-1 spokes + n-... = 2n-3 edges
+    assert e1 == e3
