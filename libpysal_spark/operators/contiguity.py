@@ -485,10 +485,15 @@ def nonplanar_neighbors(
     island side is small by construction, so the bbox-cell candidate join is
     a broadcast against the full polygon table; nothing quadratic.
     """
-    # islands derive from the full (possibly expensive) input graph build and
-    # are consumed three times below (count guard, semi-join, probe side) —
-    # materialize the tiny id list once; GC-reclaimed
-    islands = g.islands().localCheckpoint()
+    # the input graph's edge table derives from a possibly expensive build
+    # (e.g. fuzzy contiguity) and is consumed through THREE lazy paths below
+    # (islands, kept, all_ids) — pin it once or the upstream build runs 3x
+    edges = g.edges.localCheckpoint()
+    islands = (
+        edges.filter((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
+        .select(F.col("focal").alias("id"))
+        .localCheckpoint()
+    )
     bounds = polygons.select(
         F.explode("vertices").alias("v")
     ).agg(
@@ -543,10 +548,10 @@ def nonplanar_neighbors(
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
-    kept = g.edges.filter(
+    kept = edges.filter(
         ~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0))
     )
-    all_ids = g.edges.select(F.col("focal").alias("id")).distinct()
+    all_ids = edges.select(F.col("focal").alias("id")).distinct()
     merged = (
         kept.select("focal", "neighbor", "weight")
         .unionByName(new_edges)

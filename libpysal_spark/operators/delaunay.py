@@ -1202,18 +1202,26 @@ def voronoi_alpha_clip_areas(
         .distinct()  # a pair sharing several tiles clips once
     )
 
-    from libpysal_spark.operators.overlay import _clip_area
+    from libpysal_spark.functions.clip2d import batch_clip_areas, rings_from_arrow
 
     def area_batches(it):
         for pdf in it:
-            ids, areas = [], []
-            for row in pdf.itertuples(index=False):
-                ring = [(v["x"], v["y"]) for v in row.vertices]
-                tri = [(row.ax, row.ay), (row.bx, row.by), (row.cx, row.cy),
-                       (row.ax, row.ay)]
-                ids.append(row.id)
-                areas.append(_clip_area(ring, tri))
-            yield pd.DataFrame({"id": ids, "__a": areas})
+            if not len(pdf):
+                continue
+            # clip triangles come from 6 scalar columns — build the (B, 3, 2)
+            # clip array without touching per-row Python
+            tris_arr = np.stack(
+                [
+                    pdf[["ax", "ay"]].to_numpy(dtype=float),
+                    pdf[["bx", "by"]].to_numpy(dtype=float),
+                    pdf[["cx", "cy"]].to_numpy(dtype=float),
+                ],
+                axis=1,
+            )
+            areas = batch_clip_areas(
+                rings_from_arrow(pdf["vertices"]), list(tris_arr)
+            )
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "__a": areas})
 
     per_pair = pairs.mapInPandas(area_batches, "id long, __a double")
     return (
@@ -1343,20 +1351,29 @@ def voronoi_polygons(
     if clip is None:
         return cells
 
-    from libpysal_spark.operators.overlay import _clip_ring
+    from libpysal_spark.functions.clip2d import batch_clip, rings_from_arrow
 
     box = [(b.x0, b.y0), (b.x1, b.y0), (b.x1, b.y1), (b.x0, b.y1), (b.x0, b.y0)]
     clip_ring = _resolve_clip_ring(points, clip, box)
+    clip_arr = np.asarray(clip_ring, dtype=float)
 
     def clip_batches(it):
         for pdf in it:
+            if not len(pdf):
+                continue
+            P, lens = batch_clip(rings_from_arrow(pdf["vertices"]), clip_arr)
             ids, rings = [], []
-            for id_, ring_ in zip(pdf["id"], pdf["vertices"]):
-                subj = [(v["x"], v["y"]) for v in ring_]
-                out = _clip_ring(subj, clip_ring)
-                if out:
-                    ids.append(id_)
-                    rings.append([{"x": x, "y": y} for x, y in out + out[:1]])
+            id_np = pdf["id"].to_numpy()
+            for i in range(len(pdf)):
+                L = int(lens[i])
+                if L:
+                    ring_pts = P[i, :L]
+                    closed_ring = [
+                        {"x": float(x), "y": float(y)} for x, y in ring_pts
+                    ]
+                    closed_ring.append(closed_ring[0])
+                    ids.append(int(id_np[i]))
+                    rings.append(closed_ring)
             yield pd.DataFrame({"id": ids, "vertices": rings})
 
     return cells.mapInPandas(

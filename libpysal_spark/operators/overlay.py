@@ -88,12 +88,14 @@ def _clip_ring(subject: list, clip: list) -> list:
     def inside(p, a, b):
         return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
 
-    # orient clip CCW
-    area2 = sum(
-        clip[i][0] * clip[i + 1][1] - clip[i + 1][0] * clip[i][1]
-        for i in range(len(clip) - 1)
-    )
+    # orient clip CCW (full-cycle shoelace: with an OPEN input ring the old
+    # range(len-1) form skipped the closing edge and could mis-detect the
+    # orientation)
     cl = clip[:-1] if clip[0] == clip[-1] else clip
+    area2 = sum(
+        cl[i][0] * cl[(i + 1) % len(cl)][1] - cl[(i + 1) % len(cl)][0] * cl[i][1]
+        for i in range(len(cl))
+    )
     if area2 < 0:
         cl = cl[::-1]
     out = subject[:-1] if subject[0] == subject[-1] else subject
@@ -165,17 +167,25 @@ def overlay(
         .distinct()
     )
 
+    from libpysal_spark.functions.clip2d import batch_clip_areas, rings_from_arrow
+
     def batches(it):
-        # mapInPandas: per-row clipping needs NO shuffle — each Arrow batch
-        # of candidate pairs is clipped where it sits
+        # mapInPandas: clipping needs NO shuffle — each Arrow batch of
+        # candidate pairs is clipped where it sits, the WHOLE batch in one
+        # vectorized numpy Sutherland-Hodgman pass (VERDICT r4 #3)
         for pdf in it:
-            rows = []
-            for a_id, b_id, va, vb in zip(pdf["a_id"], pdf["b_id"], pdf["va"], pdf["vb"]):
-                subj = [(v["x"], v["y"]) for v in va]
-                clip = [(v["x"], v["y"]) for v in vb]
-                area = _clip_area(subj, clip)
-                if area > min_area:
-                    rows.append((a_id, b_id, area))
-            yield pd.DataFrame(rows, columns=["a_id", "b_id", "area"])
+            if not len(pdf):
+                continue
+            areas = batch_clip_areas(
+                rings_from_arrow(pdf["va"]), rings_from_arrow(pdf["vb"])
+            )
+            out = pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(),
+                    "b_id": pdf["b_id"].to_numpy(),
+                    "area": areas,
+                }
+            )
+            yield out[out["area"] > min_area]
 
     return cand.mapInPandas(batches, "a_id long, b_id long, area double")

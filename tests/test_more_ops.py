@@ -338,3 +338,55 @@ def test_dat_round_trip(spark, tmp_path):
     g2 = read_dat(spark, path)
     real = sorted(map(tuple, g2.edges.filter("weight > 0").collect()))
     assert real == [(1, 2, 0.25), (2, 1, 0.25), (5, 1, 0.5)]
+
+
+def test_batch_clip_matches_scalar():
+    """clip2d batch Sutherland-Hodgman == overlay scalar kernel, vertex-exact,
+    on random convex clips x star subjects (open/closed, CW/CCW variants)."""
+    import math
+
+    import numpy as np
+
+    from libpysal_spark.functions.clip2d import batch_clip, batch_clip_areas
+    from libpysal_spark.operators.overlay import _clip_area, _clip_ring
+
+    rng = np.random.RandomState(3)
+
+    def rand_convex(n, cx, cy, r):
+        ang = np.sort(rng.uniform(0, 2 * math.pi, n))
+        return [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in ang]
+
+    def rand_poly(n, cx, cy, r):
+        ang = np.sort(rng.uniform(0, 2 * math.pi, n))
+        rr = rng.uniform(0.3 * r, r, n)
+        return [
+            (cx + rr[i] * math.cos(a), cy + rr[i] * math.sin(a))
+            for i, a in enumerate(ang)
+        ]
+
+    subs, clips = [], []
+    for i in range(300):
+        subj = rand_poly(rng.randint(3, 12), rng.uniform(0, 8), rng.uniform(0, 8), rng.uniform(0.5, 3))
+        clip = rand_convex(rng.randint(3, 9), rng.uniform(0, 8), rng.uniform(0, 8), rng.uniform(0.5, 3))
+        if i % 2 == 0:
+            subj = subj + [subj[0]]
+        if i % 3 == 0:
+            clip = clip + [clip[0]]
+        if i % 5 == 0:
+            clip = clip[::-1]
+        subs.append(np.array(subj))
+        clips.append(np.array(clip))
+
+    P, lens = batch_clip(subs, clips)
+    areas = batch_clip_areas(subs, clips)
+    hit = 0
+    for i in range(300):
+        s = [tuple(p) for p in subs[i]]
+        c = [tuple(p) for p in clips[i]]
+        assert abs(_clip_area(s, c) - areas[i]) <= 1e-9 * max(1.0, areas[i])
+        r_s = _clip_ring(s, c)
+        assert len(r_s) == lens[i]
+        if lens[i]:
+            hit += 1
+            assert np.allclose(np.array(r_s), P[i, : lens[i]], atol=1e-12)
+    assert hit > 20  # the fixture must actually exercise overlaps
