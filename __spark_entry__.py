@@ -275,6 +275,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transform_v"] = lambda s, d: _edges_out(
         distance_band(_points(s, d, "orders"), BAND_T).transform("V"), 9
     )
+    # literal custom-callable scheme "C" (reference graph/base.py:1883-1887):
+    # the callable is exactly replayable in SQL (w - max(w) per focal — no
+    # float summation, so no fold-order sensitivity)
+    q["transform_c"] = lambda s, d: _edges_out(
+        distance_band(_points(s, d, "orders"), BAND_T, binary=False, alpha=-1.0)
+        .transform(lambda w: w - w.max()),
+        6,
+    )
 
     # --- set ops / algebra (SURVEY §2.4) ---
     def _two_graphs(s, d):
@@ -941,6 +949,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["voronoi_alpha_cells"] = _voronoi_alpha_cells
 
+    def _alpha_shape_auto(s, d):
+        # automatic alpha selection (reference cg/alpha_shapes.py:440-580):
+        # the chosen complex must COVER every point and be one hole-free
+        # polygon (Euler V - E + T == 1). The oracle supplies n_points
+        # independently; n_covered and euler come from the engine's complex,
+        # so a wrong selection or triangulation breaks the match.
+        from libpysal_spark.operators.delaunay import alpha_shape_auto
+
+        pts = _points(s, d, "supplier")
+        _alpha, _radius, kept = alpha_shape_auto(pts, cells_per_side=TRI_CELLS)
+        k = kept.localCheckpoint()
+        e_cnt = (
+            k.select(
+                F.explode(
+                    F.array(
+                        F.array_sort(F.array("a", "b")),
+                        F.array_sort(F.array("b", "c")),
+                        F.array_sort(F.array("a", "c")),
+                    )
+                ).alias("e")
+            )
+            .distinct()
+            .agg(F.count("*").alias("__e"))
+        )
+        v_cnt = (
+            k.select(F.explode(F.array("a", "b", "c")).alias("vid"))
+            .distinct()
+            .agg(F.count("*").alias("__v"))
+        )
+        t_cnt = k.agg(F.count("*").alias("__t"))
+        return (
+            pts.agg(F.count("*").alias("n_points"))
+            .crossJoin(v_cnt)
+            .crossJoin(e_cnt)
+            .crossJoin(t_cnt)
+            .select(
+                "n_points",
+                F.col("__v").alias("n_covered"),
+                (F.col("__v") - F.col("__e") + F.col("__t")).alias("euler"),
+            )
+        )
+
+    q["alpha_shape_auto"] = _alpha_shape_auto
+
     def _alpha(s, d):
         from libpysal_spark.operators.delaunay import alpha_shape_edges
 
@@ -1306,6 +1358,17 @@ s0 AS (SELECT count(*) AS s FROM e)
 SELECT focal, neighbor, CAST(round(1.0/s, 9) AS DOUBLE) AS weight FROM e, s0
 UNION ALL
 SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM e)
+ORDER BY focal, neighbor"""
+
+    o["transform_c"] = f"""
+WITH {_band_cte('orders', BAND_T)},
+w AS (SELECT focal, neighbor, 1.0/dist AS wt FROM e),
+t AS (SELECT focal, neighbor,
+             round(wt - max(wt) OVER (PARTITION BY focal), 6) AS weight
+      FROM w)
+SELECT focal, neighbor, CAST(weight AS DOUBLE) AS weight FROM t
+UNION ALL
+SELECT id, id, CAST(0.0 AS DOUBLE) FROM pts WHERE id NOT IN (SELECT focal FROM t)
 ORDER BY focal, neighbor"""
 
     # variance-stabilizing: s_ij = w_ij / sqrt(Σ_j w_ij²), scaled by n / Σ s
@@ -2178,6 +2241,12 @@ FROM Mout ORDER BY row, col"""
     # Euler relation, with n and the hull count derived from geometry alone:
     # a is a hull vertex iff some b exists with every other c strictly on one
     # side of line (a, b)
+    o["alpha_shape_auto"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_covered,
+       CAST(1 AS BIGINT) AS euler
+FROM ({_pts_sql('supplier')})"""
+
     o["delaunay_euler"] = f"""
 WITH pts AS ({_pts_sql('supplier')}),
 hull AS (

@@ -1131,6 +1131,110 @@ def alpha_shape_edges(points: DataFrame, alpha: float, cells_per_side: int = 1) 
     )
 
 
+def alpha_shape_auto(
+    points: DataFrame, cells_per_side: int = 1, step: int = 1
+):
+    """Automatic alpha selection (Edelsbrunner et al. 1983, reference
+    cg/alpha_shapes.py:440-580 ``alpha_shape_auto``).
+
+    The reference ranks triangles by circumradius descending and tightens
+    alpha stepwise until the alpha complex stops being ONE hole-free polygon
+    containing every point; it returns the last valid alpha. Engine
+    adaptation: the expensive geometry — the Delaunay triangulation and
+    per-triangle circumradii — is computed DISTRIBUTED (the partitioned
+    builder); only the O(#triangles) (a, b, c, r) rows come to the driver
+    for the selection scan, the same order of driver state as the
+    reference's radii/simplices arrays. Validity is evaluated without any
+    geometry library:
+
+    - coverage: every point is a vertex of >= 1 kept triangle;
+    - single polygon, no holes: edge-connected components == 1 AND the Euler
+      characteristic V - E + T == 1 (c components, h holes give c - h, so
+      both checks together pin c == 1, h == 0 — polygonize's single-polygon
+      test in the reference fails on either).
+
+    The keep rule replicates the reference bit-for-bit:
+    ``alpha_i = 1/r_i - eps``; keep triangles with ``r < 1/alpha_i``.
+
+    Returns ``(alpha, radius, kept_triangles)`` where ``kept_triangles`` is
+    the filtered distributed triangle DataFrame.
+    """
+    eps = float(np.finfo(float).eps)
+    tris = delaunay_triangles(points, cells_per_side).localCheckpoint()
+    rows = tris.select(
+        "a", "b", "c", F.sqrt(F.greatest("r2", F.lit(0.0))).alias("r")
+    ).collect()
+    n = points.select("id").distinct().count()
+    if not rows:
+        return (float("inf"), 0.0, tris)
+    trs = sorted(((row.r, row.a, row.b, row.c) for row in rows))
+    radii_desc = [t[0] for t in trs][::-1]
+    # candidate thresholds in the reference's visit order (desc, stepped)
+    cand_desc = [radii_desc[i] for i in range(0, len(radii_desc), step)]
+
+    # ascending sweep: add triangles level by level, maintaining union-find
+    # components, V/E/T counts and point coverage; record validity at each
+    # candidate threshold
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comp = 0
+
+    def union(x, y):
+        nonlocal comp
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+            comp -= 1
+
+    edge_owner: dict = {}
+    verts: set = set()
+    T = E = 0
+    valid_at: dict = {}
+    ptr = 0
+    for thr_r in sorted(cand_desc):
+        alpha = 1.0 / thr_r - eps if thr_r > 0 else float("inf")
+        cut = 1.0 / alpha if alpha > 0 else float("inf")
+        while ptr < len(trs) and trs[ptr][0] < cut:
+            r, a, b, c = trs[ptr]
+            ptr += 1
+            key = (a, b, c)
+            parent[key] = key
+            comp += 1
+            T += 1
+            for u, v in ((a, b), (b, c), (a, c)):
+                ek = (u, v) if u < v else (v, u)
+                other = edge_owner.get(ek)
+                if other is None:
+                    edge_owner[ek] = key
+                    E += 1
+                else:
+                    union(key, other)
+            verts.update(key)
+        V = len(verts)
+        valid_at[thr_r] = (comp == 1) and (V - E + T == 1) and (len(verts) == n)
+
+    # reference order: try candidates descending, stop at FIRST invalid,
+    # return the previous (last valid); the loosest threshold is the
+    # unconditional fallback
+    chosen = cand_desc[0]
+    for thr_r in cand_desc:
+        if valid_at[thr_r]:
+            chosen = thr_r
+        else:
+            break
+    alpha = 1.0 / chosen - eps if chosen > 0 else float("inf")
+    kept = tris.filter(
+        F.sqrt(F.greatest("r2", F.lit(0.0))) < F.lit(1.0 / alpha)
+    )
+    return (alpha, chosen, kept)
+
+
 def voronoi_alpha_clip_areas(
     points: DataFrame,
     alpha: float,

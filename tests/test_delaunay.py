@@ -246,3 +246,87 @@ def test_cocircular_canonical_fan(spark):
           .filter("focal < neighbor").collect()}
     assert len(e1) == 2 * n - 3  # fan: n-1 spokes + n-... = 2n-3 edges
     assert e1 == e3
+
+
+def test_alpha_shape_auto_selection(spark):
+    """alpha_shape_auto picks the tightest alpha whose complex is one
+    hole-free polygon covering all points (reference
+    cg/alpha_shapes.py:440-580), verified by an independent brute-force
+    checker over every candidate threshold."""
+    import numpy as np
+
+    from libpysal_spark.operators.delaunay import (
+        _bowyer_watson_tris,
+        alpha_shape_auto,
+    )
+
+    rng = np.random.RandomState(11)
+    # a dense blob plus a thin bridge of points to a second blob: tight
+    # alphas sever the bridge (disconnect) so the choice is non-trivial
+    blob1 = rng.uniform(0, 10, (60, 2))
+    blob2 = rng.uniform(20, 28, (50, 2)) + [0, 1]
+    bridge = np.column_stack([np.linspace(10, 20, 8), np.full(8, 5.0)])
+    xy = np.vstack([blob1, bridge, blob2])
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    alpha, radius, kept = alpha_shape_auto(pts)
+    k = kept.select("a", "b", "c").collect()
+    kept_set = {(r.a, r.b, r.c) for r in k}
+
+    # independent checker: same validity definition, separate implementation
+    def valid(tri_list, n):
+        if not tri_list:
+            return False
+        verts = set()
+        edges = set()
+        adj = {}
+        for t in tri_list:
+            verts.update(t)
+            for u, v in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+                ek = (min(u, v), max(u, v))
+                edges.add(ek)
+                adj.setdefault(ek, []).append(t)
+        # BFS over edge-adjacency
+        seen = {tri_list[0]}
+        stack = [tri_list[0]]
+        while stack:
+            t = stack.pop()
+            for u, v in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+                for o in adj[(min(u, v), max(u, v))]:
+                    if o not in seen:
+                        seen.add(o)
+                        stack.append(o)
+        connected = len(seen) == len(tri_list)
+        euler = len(verts) - len(edges) + len(tri_list)
+        return connected and euler == 1 and len(verts) == n
+
+    ids = np.arange(len(xy))
+    tris = _bowyer_watson_tris(ids, xy)
+    trid = [tuple(sorted((int(ids[a]), int(ids[b]), int(ids[c])))) for a, b, c in tris]
+    from libpysal_spark.operators.delaunay import _circum_batch
+
+    tarr = np.array([[list(xy[i]) for i in t] for t in trid])
+    r = np.sqrt(np.maximum(_circum_batch(
+        xy, np.array([[list(ids).index(i) for i in t] for t in trid])
+    )[:, 2], 0))
+    eps = float(np.finfo(float).eps)
+    order = np.argsort(-r)
+    n = len(xy)
+    expect_thr = r[order[0]]
+    for i in order:
+        thr = r[i]
+        a_i = 1.0 / thr - eps
+        keep = [trid[j] for j in range(len(trid)) if r[j] < 1.0 / a_i]
+        if valid(keep, n):
+            expect_thr = thr
+        else:
+            break
+    assert abs(radius - expect_thr) < 1e-12
+    expect_keep = {
+        trid[j] for j in range(len(trid))
+        if r[j] < 1.0 / (1.0 / expect_thr - eps)
+    }
+    assert kept_set == expect_keep
+    # the chosen complex itself is valid and severs nothing
+    assert valid(sorted(kept_set), n)

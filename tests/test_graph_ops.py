@@ -350,3 +350,27 @@ def test_from_networkx_gated(spark):
 
         with _pytest.raises(ImportError, match="networkx"):
             Graph.from_networkx(spark, None)
+
+
+def test_transform_callable_scheme_c(spark):
+    """Literal transform(callable) -> "C" (reference graph/base.py:1883-1887):
+    the callable maps each focal group's weight Series; groups arrive
+    neighbor-sorted; isolates pass through the callable like any group."""
+    from libpysal_spark.graph import Graph
+
+    rows = [
+        (0, 1, 2.0), (0, 2, 6.0),
+        (1, 0, 4.0), (1, 2, 4.0),
+        (2, 0, 1.0), (2, 1, 3.0),
+        (3, 3, 0.0),  # isolate
+    ]
+    g = Graph(spark.createDataFrame(rows, "focal long, neighbor long, weight double"))
+    t = g.transform(lambda w: w / w.sum())
+    assert t.transformation == "C"
+    got = {(r.focal, r.neighbor): r.weight for r in t.edges.collect()}
+    assert got[(0, 1)] == 0.25 and got[(0, 2)] == 0.75
+    assert got[(1, 0)] == 0.5 and got[(2, 0)] == 0.25
+    # order-sensitive callable: cumulative share proves neighbor-sorted groups
+    t2 = g.transform(lambda w: w.cumsum())
+    got2 = {(r.focal, r.neighbor): r.weight for r in t2.edges.collect()}
+    assert got2[(0, 1)] == 2.0 and got2[(0, 2)] == 8.0
