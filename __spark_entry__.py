@@ -1237,6 +1237,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _edges_out(Graph.from_adjacency(adj, weight_col="cost"), 4)
 
     q["travel_cost_graph"] = _travel
+
+    # --- routed travel-cost weights: distributed multi-source Dijkstra
+    # within threshold (graph/_network.py:27-152 pdna_to_adj semantics —
+    # pandana nodes_in_range over a directed weighted network) ---
+    def _travel_routed(s, d):
+        from libpysal_spark.operators.network import nodes_in_range
+
+        sup = s.read.parquet(f"{d}/supplier.parquet").select(
+            F.col("s_suppkey").cast("long").alias("id")
+        )
+        nmax = sup.agg(F.max("id").alias("N"))
+        n_b = F.broadcast(nmax)
+        ring = sup.crossJoin(n_b).select(
+            F.col("id").alias("src"),
+            (F.col("id") % F.col("N") + 1).alias("dst"),
+            (1.0 + (F.col("id") % 5) * 0.25).alias("cost"),
+        )
+        chord = sup.crossJoin(n_b).select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 7) % F.col("N") + 1).alias("dst"),
+            (3.0 + (F.col("id") % 3) * 0.5).alias("cost"),
+        )
+        edges = ring.unionByName(chord).filter(F.col("src") != F.col("dst"))
+        origins = sup.filter(F.col("id") % 10 == 1)
+        out = nodes_in_range(edges, origins, threshold=6.0)
+        return out.select(
+            "origin", "destination", F.round("cost", 6).alias("cost")
+        ).orderBy("origin", "destination")
+
+    q["travel_cost_routed"] = _travel_routed
     return q
 
 
@@ -2737,5 +2767,32 @@ SELECT focal, neighbor, CAST(round(cost, 4) AS DOUBLE) AS weight FROM e
 UNION ALL
 SELECT id, id, CAST(0.0 AS DOUBLE) FROM ids WHERE id NOT IN (SELECT focal FROM e)
 ORDER BY focal, neighbor"""
+
+    # all edge costs are exact multiples of 0.25, so path sums are exact in
+    # binary float — the recursive enumeration (bounded by threshold over
+    # positive costs) min-reduces to identical doubles on both engines
+    o["travel_cost_routed"] = """
+WITH RECURSIVE
+n AS (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier),
+cnt AS (SELECT max(id) AS N FROM n),
+edges AS (
+  SELECT id AS src, (id % N) + 1 AS dst,
+         CAST(1.0 + (id % 5) * 0.25 AS DOUBLE) AS cost FROM n, cnt
+  UNION ALL
+  SELECT id, ((id * 7) % N) + 1,
+         CAST(3.0 + (id % 3) * 0.5 AS DOUBLE) FROM n, cnt
+),
+e2 AS (SELECT * FROM edges WHERE src <> dst),
+s0 AS (SELECT id FROM n WHERE id % 10 = 1),
+walk(origin, node, d) AS (
+  SELECT id, id, CAST(0.0 AS DOUBLE) FROM s0
+  UNION
+  SELECT w.origin, e.dst, w.d + e.cost
+  FROM walk w JOIN e2 e ON e.src = w.node
+  WHERE w.d + e.cost <= 6.0
+)
+SELECT origin, node AS destination, CAST(round(min(d), 6) AS DOUBLE) AS cost
+FROM walk GROUP BY origin, node
+ORDER BY origin, destination"""
 
     return o

@@ -1,0 +1,92 @@
+"""Network travel-cost weights — distributed shortest paths within a threshold.
+
+Reference: graph/_network.py:27-152 (``pdna_to_adj`` / ``build_travel_graph``)
+delegates routing to pandana's ``Network.nodes_in_range``: for every origin
+node, all nodes reachable within ``threshold`` shortest-path cost, plus the
+cost. This module provides that primitive over an edge-list DataFrame with
+the frontier-join pattern (the engine's shimbel/order machinery, adapted to
+weighted costs):
+
+- state ``dist(origin, node, d)`` holds the best-known cost per pair;
+- each round relaxes the FRONTIER (pairs improved last round) through the
+  edge table: one equi-join on ``node == src``, a threshold filter, and a
+  min-groupBy merge — all hash-partitioned by the pair key, no driver-side
+  graph;
+- rounds are bounded by threshold / min positive cost (label-correcting
+  over non-negative costs: d only decreases, frontier empties).
+
+Scale shape: state is O(reachable pairs) — exactly the output size — and
+each round is one shuffle keyed by (origin, node). ``localCheckpoint`` per
+round cuts the iterative lineage (same policy as the kNN probe rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+last_route_info: dict = {}
+
+
+def nodes_in_range(
+    edges: DataFrame,
+    origins: DataFrame,
+    threshold: float,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(origin, destination, cost) — shortest-path cost <= threshold.
+
+    ``edges``: (src, dst, cost) DIRECTED non-negative costs (pandana
+    networks may be directed; pass both directions for undirected).
+    ``origins``: (id) source nodes. The origin itself is included at cost 0
+    (pandana ``nodes_in_range`` semantics).
+    """
+    global last_route_info
+    t = float(threshold)
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("cost").cast("double").alias("cost"),
+    ).filter((F.col("cost") >= 0.0) & (F.col("cost") <= t))
+    dist = (
+        origins.select(F.col("id").cast("long").alias("origin"))
+        .distinct()
+        .select("origin", F.col("origin").alias("node"), F.lit(0.0).alias("d"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        relaxed = (
+            frontier.join(e, frontier.node == e.src)
+            .select("origin", F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
+            .filter(F.col("d") <= t)
+        )
+        merged = (
+            dist.unionByName(relaxed)
+            .groupBy("origin", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        # improved pairs: strictly better than (or absent from) the old state
+        frontier = (
+            merged.alias("m")
+            .join(
+                dist.alias("o"),
+                (F.col("m.origin") == F.col("o.origin"))
+                & (F.col("m.node") == F.col("o.node")),
+                "left",
+            )
+            .filter(F.col("o.d").isNull() | (F.col("m.d") < F.col("o.d")))
+            .select(F.col("m.origin").alias("origin"), F.col("m.node").alias("node"), F.col("m.d").alias("d"))
+            .localCheckpoint()
+        )
+        dist = merged
+        if frontier.limit(1).count() == 0:
+            break
+    last_route_info = {"rounds": rounds, "converged": rounds < max_rounds}
+    return dist.select(
+        "origin", F.col("node").alias("destination"), F.col("d").alias("cost")
+    )

@@ -443,3 +443,50 @@ def test_voronoi_alpha_clip_decomposition(spark):
     }
     for r in out:
         assert r.area <= _shoelace(full[r.id]) + 1e-9
+
+
+def test_nodes_in_range_matches_dijkstra(spark):
+    """Distributed threshold-bounded shortest paths == driver Dijkstra on a
+    directed weighted fixture (pandana nodes_in_range semantics: origin at
+    cost 0, threshold inclusive, directed edges)."""
+    import heapq
+
+    import numpy as np
+
+    from libpysal_spark.operators import network as N
+
+    rng = np.random.RandomState(5)
+    n = 40
+    edges = []
+    for i in range(n):
+        edges.append((i, (i + 1) % n, 1.0 + (i % 4) * 0.25))
+        edges.append((i, (i * 3 + 1) % n, 2.0 + (i % 3) * 0.5))
+    e_df = spark.createDataFrame(edges, "src long, dst long, cost double")
+    origins = [0, 7, 13]
+    o_df = spark.createDataFrame([(i,) for i in origins], "id long")
+    T = 5.0
+    got = {
+        (r.origin, r.destination): r.cost
+        for r in N.nodes_in_range(e_df, o_df, T).collect()
+    }
+    assert N.last_route_info["converged"]
+
+    adj = {}
+    for s, d, c in edges:
+        adj.setdefault(s, []).append((d, c))
+    want = {}
+    for o in origins:
+        dist = {o: 0.0}
+        pq = [(0.0, o)]
+        while pq:
+            d0, u = heapq.heappop(pq)
+            if d0 > dist.get(u, float("inf")):
+                continue
+            for v, c in adj.get(u, []):
+                nd = d0 + c
+                if nd <= T and nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        for k, v in dist.items():
+            want[(o, k)] = v
+    assert got == want
