@@ -509,6 +509,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["overlay"] = _overlay
 
+    def _overlay_nonconvex(s, d):
+        # non-convex B layer (VERDICT r4 #8): L-shaped rings, ear-clipped
+        # into a triangle partition inside the engine; the oracle computes
+        # the exact area as the sum of the L's two rectangles (all offsets
+        # are exact binary fractions)
+        from libpysal_spark.operators.overlay import overlay
+
+        pos, _ = _lattice_positions(s, d)
+        a = lattice_polygons(s, pos)
+        x0 = F.col("gx").cast("double") + 0.5
+        y0 = F.col("gy").cast("double") + 0.5
+
+        def pt(xe, ye):
+            return F.struct(xe.alias("x"), ye.alias("y"))
+
+        ring = F.array(
+            pt(x0, y0), pt(x0 + 1.5, y0), pt(x0 + 1.5, y0 + 0.75),
+            pt(x0 + 0.75, y0 + 0.75), pt(x0 + 0.75, y0 + 1.5),
+            pt(x0, y0 + 1.5), pt(x0, y0),
+        )
+        b = pos.select("id", ring.alias("vertices"))
+        out = overlay(a, b, cell_size=2.0, b_convex=False)
+        return out.select(
+            "a_id", "b_id", F.round("area", 9).alias("area")
+        ).orderBy("a_id", "b_id")
+
+    q["overlay_nonconvex"] = _overlay_nonconvex
+
     # --- corpus / pages (input_hint invariant) ---
     def _pages(s, d):
         p = pages(s, d)
@@ -1809,6 +1837,24 @@ inter AS (
        * greatest(0.0, least(a.y0 + 1, b.y0 + 1) - greatest(a.y0, b.y0)) AS area
   FROM a JOIN b
     ON abs(a.x0 - b.x0) < 1 AND abs(a.y0 - b.y0) < 1
+)
+SELECT a_id, b_id, CAST(round(area, 9) AS DOUBLE) AS area
+FROM inter WHERE area > 0 ORDER BY a_id, b_id"""
+
+    o["overlay_nonconvex"] = f"""
+WITH {_lattice_cte()},
+a AS (SELECT id, CAST(gx AS DOUBLE) AS x0, CAST(gy AS DOUBLE) AS y0 FROM xy),
+b AS (SELECT id, gx + 0.5 AS x0, gy + 0.5 AS y0 FROM xy),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         greatest(0.0, least(a.x0 + 1, b.x0 + 1.5) - greatest(a.x0, b.x0))
+       * greatest(0.0, least(a.y0 + 1, b.y0 + 0.75) - greatest(a.y0, b.y0))
+       + greatest(0.0, least(a.x0 + 1, b.x0 + 0.75) - greatest(a.x0, b.x0))
+       * greatest(0.0, least(a.y0 + 1, b.y0 + 1.5) - greatest(a.y0, b.y0 + 0.75))
+         AS area
+  FROM a JOIN b
+    ON a.x0 < b.x0 + 1.5 AND b.x0 < a.x0 + 1
+   AND a.y0 < b.y0 + 1.5 AND b.y0 < a.y0 + 1
 )
 SELECT a_id, b_id, CAST(round(area, 9) AS DOUBLE) AS area
 FROM inter WHERE area > 0 ORDER BY a_id, b_id"""

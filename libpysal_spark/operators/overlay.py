@@ -132,15 +132,123 @@ def _clip_area(subject: list, clip: list) -> float:
     return abs(s) / 2.0
 
 
+def _ear_clip(ring: "np.ndarray") -> list:
+    """Triangulate a simple polygon (open CCW ring) by ear clipping.
+
+    Returns a list of (3, 2) triangle arrays that PARTITION the polygon —
+    the decomposition that lets a non-convex clip layer reuse the convex
+    Sutherland–Hodgman kernel: area(a ∩ poly) = Σ_tri area(a ∩ tri)
+    (the same per-triangle route as Voronoi's alpha clip,
+    delaunay.voronoi_alpha_clip_areas). Public algorithm (Meisters 1975).
+    """
+    import numpy as np
+
+    pts = list(range(len(ring)))
+
+    def cross(o, a, b):
+        return (ring[a][0] - ring[o][0]) * (ring[b][1] - ring[o][1]) - (
+            ring[a][1] - ring[o][1]
+        ) * (ring[b][0] - ring[o][0])
+
+    tris = []
+    guard = 0
+    while len(pts) > 3 and guard < 10000:
+        guard += 1
+        n = len(pts)
+        for k in range(n):
+            i0, i1, i2 = pts[k - 1], pts[k], pts[(k + 1) % n]
+            if cross(i0, i1, i2) <= 0:
+                continue  # reflex corner, not an ear
+            # no other vertex inside the candidate ear
+            ax, ay = ring[i0]
+            bx, by = ring[i1]
+            cx, cy = ring[i2]
+            ok = True
+            for j in pts:
+                if j in (i0, i1, i2):
+                    continue
+                px, py = ring[j]
+                d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                if d1 >= 0 and d2 >= 0 and d3 >= 0:
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([ring[i0], ring[i1], ring[i2]]))
+                pts.pop(k)
+                break
+        else:
+            break  # degenerate input: emit remaining fan below
+    if len(pts) >= 3:
+        for k in range(1, len(pts) - 1):
+            tris.append(np.array([ring[pts[0]], ring[pts[k]], ring[pts[k + 1]]]))
+    return tris
+
+
+def triangulate_b_layer(b_polys: DataFrame) -> DataFrame:
+    """(id, vertices) arbitrary simple rings → (id, vertices) one row per
+    ear-clip triangle (closed 4-vertex rings). Runs in mapInPandas — each
+    polygon decomposes where it sits, no shuffle."""
+    import numpy as np
+
+    from libpysal_spark.functions.clip2d import _open_rings, rings_from_arrow
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, rows = [], []
+            for bid, ring in zip(
+                pdf["id"].to_numpy(), _open_rings(rings_from_arrow(pdf["vertices"]))
+            ):
+                # orient CCW for ear clipping
+                a2 = 0.0
+                for i in range(len(ring)):
+                    j = (i + 1) % len(ring)
+                    a2 += ring[i][0] * ring[j][1] - ring[j][0] * ring[i][1]
+                if a2 < 0:
+                    ring = ring[::-1]
+                for t in _ear_clip(ring):
+                    ids.append(int(bid))
+                    rows.append(
+                        [{"x": float(x), "y": float(y)} for x, y in t]
+                        + [{"x": float(t[0][0]), "y": float(t[0][1])}]
+                    )
+            yield pd.DataFrame({"id": ids, "vertices": rows})
+
+    return b_polys.mapInPandas(
+        batches, "id long, vertices array<struct<x double, y double>>"
+    )
+
+
 def overlay(
-    a_polys: DataFrame, b_polys: DataFrame, cell_size: float, min_area: float = 0.0
+    a_polys: DataFrame,
+    b_polys: DataFrame,
+    cell_size: float,
+    min_area: float = 0.0,
+    b_convex: bool = True,
 ) -> DataFrame:
     """(a_id, b_id, area) for every intersecting polygon pair.
 
     Candidates via the bbox-cell equi-join (the engine's spatial-join
     primitive); exact areas via Sutherland–Hodgman + shoelace in Arrow
-    batches. ``b_polys`` rings must be convex (clip layer).
+    batches. With ``b_convex=True`` the ``b_polys`` rings must be convex
+    (Sutherland–Hodgman precondition); ``b_convex=False`` accepts ARBITRARY
+    simple rings — each b polygon is ear-clipped into a partition of
+    triangles (each convex), pair areas are computed per (a, b-triangle)
+    and summed per (a, b): exact because the triangles tile the polygon
+    (reference parity: cg/ops/tabular.py:20-127 geopandas overlay handles
+    arbitrary polygons).
     """
+    if not b_convex:
+        b_tris = triangulate_b_layer(b_polys)
+        per_tri = overlay(a_polys, b_tris, cell_size, min_area=0.0)
+        return (
+            per_tri.groupBy("a_id", "b_id")
+            .agg(F.sum("area").alias("area"))
+            .filter(F.col("area") > min_area)
+        )
     from libpysal_spark.tiling import pack_cell
 
     s = float(cell_size)

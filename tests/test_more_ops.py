@@ -390,3 +390,38 @@ def test_batch_clip_matches_scalar():
             hit += 1
             assert np.allclose(np.array(r_s), P[i, : lens[i]], atol=1e-12)
     assert hit > 20  # the fixture must actually exercise overlaps
+
+
+def test_ear_clip_partitions_polygon():
+    """Ear-clip triangles of a simple polygon: count n-2 and areas summing
+    exactly to the polygon area (the invariant the non-convex overlay path
+    relies on)."""
+    import math
+
+    import numpy as np
+
+    from libpysal_spark.operators.overlay import _ear_clip
+
+    rng = np.random.RandomState(9)
+    for _ in range(50):
+        n = rng.randint(4, 15)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, n))
+        rr = rng.uniform(0.2, 1.0, n)  # star polygon: simple, non-convex
+        ring = np.column_stack([rr * np.cos(ang), rr * np.sin(ang)])
+        a2 = 0.0
+        for i in range(n):
+            j = (i + 1) % n
+            a2 += ring[i][0] * ring[j][1] - ring[j][0] * ring[i][1]
+        if a2 < 0:
+            ring = ring[::-1]
+        tris = _ear_clip(ring)
+        assert len(tris) == n - 2
+        tot = sum(
+            abs(
+                (t[1][0] - t[0][0]) * (t[2][1] - t[0][1])
+                - (t[1][1] - t[0][1]) * (t[2][0] - t[0][0])
+            )
+            / 2.0
+            for t in tris
+        )
+        assert abs(tot - abs(a2) / 2.0) < 1e-9
