@@ -150,6 +150,16 @@ def _ear_clip(ring: "np.ndarray") -> list:
             ring[a][1] - ring[o][1]
         ) * (ring[b][0] - ring[o][0])
 
+    def seg_cross(p, q, u, v):
+        """Segments pq and uv properly intersect (or overlap collinearly)."""
+        d1 = cross(p, q, u)
+        d2 = cross(p, q, v)
+        d3 = cross(u, v, p)
+        d4 = cross(u, v, q)
+        if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != 0 and d2 != 0:
+            return True
+        return False
+
     tris = []
     guard = 0
     while len(pts) > 3 and guard < 10000:
@@ -159,7 +169,11 @@ def _ear_clip(ring: "np.ndarray") -> list:
             i0, i1, i2 = pts[k - 1], pts[k], pts[(k + 1) % n]
             if cross(i0, i1, i2) <= 0:
                 continue  # reflex corner, not an ear
-            # no other vertex inside the candidate ear
+            # (a) no other vertex inside the candidate ear; (b) the diagonal
+            # (i0, i2) crosses no remaining polygon edge. The vertex test
+            # alone is NOT sufficient — a boundary chain can cut across the
+            # ear triangle with both endpoints outside (live counterexample
+            # in tests/test_more_ops.py::test_ear_clip_partitions_polygon).
             ax, ay = ring[i0]
             bx, by = ring[i1]
             cx, cy = ring[i2]
@@ -174,6 +188,14 @@ def _ear_clip(ring: "np.ndarray") -> list:
                 if d1 >= 0 and d2 >= 0 and d3 >= 0:
                     ok = False
                     break
+            if ok:
+                for m in range(n):
+                    u, v = pts[m], pts[(m + 1) % n]
+                    if len({u, v} & {i0, i2}):
+                        continue
+                    if seg_cross(i0, i2, u, v):
+                        ok = False
+                        break
             if ok:
                 tris.append(np.array([ring[i0], ring[i1], ring[i2]]))
                 pts.pop(k)

@@ -405,7 +405,10 @@ def test_ear_clip_partitions_polygon():
     rng = np.random.RandomState(9)
     for _ in range(50):
         n = rng.randint(4, 15)
-        ang = np.sort(rng.uniform(0, 2 * math.pi, n))
+        # stratified angles keep the origin inside -> star-shaped, hence
+        # SIMPLE (plain sorted-uniform angles can leave the origin outside
+        # and self-intersect)
+        ang = (np.arange(n) + rng.uniform(0.0, 0.9, n)) * 2 * math.pi / n
         rr = rng.uniform(0.2, 1.0, n)  # star polygon: simple, non-convex
         ring = np.column_stack([rr * np.cos(ang), rr * np.sin(ang)])
         a2 = 0.0
