@@ -188,9 +188,18 @@ class Graph:
             row, col, data, n = coo.row, coo.col, coo.data, coo.shape[0]
         if ids is None:
             ids = list(range(n))
+        # scipy COO semantics: duplicate (row, col) entries SUM (the
+        # reference's from_sparse inherits this via scipy conversion) —
+        # coalesce before building edges or duplicates double-count in
+        # weight aggregations (ADVICE r4)
+        agg: dict = {}
+        for r, c, w in zip(row, col, data):
+            if w != 0:
+                k = (int(r), int(c))
+                agg[k] = agg.get(k, 0.0) + float(w)
         rows = [
-            (int(ids[int(r)]), int(ids[int(c)]), float(w))
-            for r, c, w in zip(row, col, data)
+            (int(ids[r]), int(ids[c]), w)
+            for (r, c), w in agg.items()
             if w != 0
         ]
         edges = spark.createDataFrame(

@@ -86,29 +86,43 @@ def read_wkt(spark: SparkSession, path: str) -> DataFrame:
     """
     import pandas as pd
 
-    lines = spark.read.text(path).selectExpr(
-        "monotonically_increasing_id() as __row", "value"
-    )
-    # monotonically_increasing_id is partition-ordered; re-rank to dense
-    # 0-based line numbers deterministically
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    lines = lines.withColumn(
-        "id", F.row_number().over(Window.orderBy("__row")) - 1
-    ).select("id", "value")
+    raw = spark.read.text(path)
+    # dense 0-based line ids WITHOUT a global single-task sort (ADVICE r4):
+    # count rows per file-split partition (one small aggregate), then each
+    # partition numbers its own lines from its offset — zipWithIndex-style.
+    # Text splits preserve in-file line order and partition ids follow split
+    # order, the same guarantee monotonically_increasing_id relies on.
+    counts = {
+        r.p: r.c
+        for r in raw.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    offs = {}
+    acc = 0
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
+    b_offs = spark.sparkContext.broadcast(offs)
 
     def gen(it):
+        from pyspark import TaskContext
+
+        pos = b_offs.value.get(TaskContext.get().partitionId(), 0)
         for pdf in it:
             out = []
-            for rid, txt in zip(pdf["id"], pdf["value"]):
+            for txt in pdf["value"]:
+                rid = pos
+                pos += 1
                 for ring in parse_wkt(str(txt)):
                     out.append(
-                        (int(rid), [{"x": float(x), "y": float(y)} for x, y in ring])
+                        (rid, [{"x": float(x), "y": float(y)} for x, y in ring])
                     )
             yield pd.DataFrame(out, columns=["id", "vertices"])
 
-    return lines.mapInPandas(
+    return raw.mapInPandas(
         gen, "id long, vertices array<struct<x double, y double>>"
     )
 
@@ -127,7 +141,21 @@ def write_wkt(polygons: DataFrame, path: str) -> None:
     def fmt_ring(r):
         return "(" + ",".join(f"{x:.15g} {y:.15g}" for x, y in r) + ")"
 
+    # OGC semantics (ADVICE r4): listing several rings inside one POLYGON
+    # makes rings 2..k read as HOLES. The engine's ring-list model carries
+    # no exterior/hole roles (multi-ring records come from MULTIPOLYGON
+    # reads), so multi-ring records are written as a MULTIPOLYGON of
+    # single-ring polygons — valid WKT for external consumers and a
+    # lossless round-trip through read_wkt's flattening. Hole semantics are
+    # not representable in this model (documented limitation).
     with open(path, "w") as f:
         for rid in sorted(by_id):
             rings = by_id[rid]
-            f.write("POLYGON (" + ",".join(fmt_ring(r) for r in rings) + ")\n")
+            if len(rings) == 1:
+                f.write("POLYGON (" + fmt_ring(rings[0]) + ")\n")
+            else:
+                f.write(
+                    "MULTIPOLYGON ("
+                    + ",".join("(" + fmt_ring(r) + ")" for r in rings)
+                    + ")\n"
+                )

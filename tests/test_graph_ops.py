@@ -374,3 +374,17 @@ def test_transform_callable_scheme_c(spark):
     t2 = g.transform(lambda w: w.cumsum())
     got2 = {(r.focal, r.neighbor): r.weight for r in t2.edges.collect()}
     assert got2[(0, 1)] == 2.0 and got2[(0, 2)] == 8.0
+
+
+def test_from_sparse_sums_duplicate_coo(spark):
+    """scipy COO semantics: repeated (i, j) entries sum (ADVICE r4)."""
+    from libpysal_spark.graph import Graph
+
+    g = Graph.from_sparse(
+        spark, ([0, 0, 1, 0], [1, 1, 0, 2], [2.0, 3.0, 1.5, -1.0], 3)
+    )
+    got = {
+        (r.focal, r.neighbor): r.weight
+        for r in g.edges.filter("weight != 0.0 or focal != neighbor").collect()
+    }
+    assert got == {(0, 1): 5.0, (1, 0): 1.5, (0, 2): -1.0}

@@ -185,3 +185,33 @@ def test_wkt_roundtrip(spark, columbus_polys, tmp_path):
     write_wkt(columbus_polys, p)
     back = read_wkt(spark, p)
     assert _neighbors(queen(back)) == _neighbors(queen(columbus_polys))
+
+
+def test_write_wkt_multipolygon_roundtrip(spark, tmp_path):
+    """Multi-ring records emit valid MULTIPOLYGON (not ring-as-hole POLYGON)
+    and round-trip losslessly through read_wkt (ADVICE r4)."""
+    from libpysal_spark.io.geometry_io import read_wkt, write_wkt
+
+    rows = [
+        (0, [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0}, {"x": 0.0, "y": 1.0},
+             {"x": 0.0, "y": 0.0}]),
+        (0, [{"x": 5.0, "y": 5.0}, {"x": 6.0, "y": 5.0}, {"x": 5.0, "y": 6.0},
+             {"x": 5.0, "y": 5.0}]),
+        (1, [{"x": 2.0, "y": 2.0}, {"x": 3.0, "y": 2.0}, {"x": 2.0, "y": 3.0},
+             {"x": 2.0, "y": 2.0}]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, vertices array<struct<x double, y double>>"
+    )
+    p = str(tmp_path / "mp.wkt")
+    write_wkt(df, p)
+    lines = open(p).read().splitlines()
+    assert lines[0].startswith("MULTIPOLYGON ((")
+    assert lines[1].startswith("POLYGON (")
+    back = read_wkt(spark, p)
+    want = {(r[0], tuple((v["x"], v["y"]) for v in r[1])) for r in rows}
+    got = {
+        (r.id, tuple((v["x"], v["y"]) for v in r.vertices))
+        for r in back.collect()
+    }
+    assert got == want
