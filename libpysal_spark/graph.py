@@ -29,6 +29,9 @@ from pyspark.sql.functions import pandas_udf
 
 EDGE_COLS = ("focal", "neighbor", "weight")
 
+# diagnostics from the last component_labels() run (rounds to convergence)
+last_components_info: dict = {}
+
 
 def _release_pins(jdfs) -> None:
     """Unpersist the JVM datasets quietly (session may already be stopped)."""
@@ -1128,7 +1131,9 @@ class Graph:
             .localCheckpoint()
         )
         prev = _sig(e)
+        rounds = 0
         for _ in range(max_iters):
+            rounds += 1
             # one checkpoint per round: the large-star stage stays lazy inside
             # the small-star job (lineage depth stays bounded at 2 stars)
             e2 = star(star(e, large=True, dedup=False), large=False).localCheckpoint()
@@ -1148,6 +1153,8 @@ class Graph:
                 e.unpersist()
                 e = e2
             prev = cur
+        global last_components_info
+        last_components_info = {"rounds": rounds, "max_iters": max_iters}
         # converged edge set is a union of stars (child -> root)
         roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
         return (

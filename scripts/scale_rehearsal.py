@@ -36,6 +36,12 @@ from libpysal_spark.pages import geocode_exprs
 
 MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
 SQ = math.sqrt(MULT)
+# comma-separated subset of result names to run (VERDICT r4 #7: the 100x
+# pass exercises distance_band/knn/components only — delaunay and the exact
+# near-dup GEMM have their own dedicated scale evidence)
+ONLY = {
+    s for s in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if s
+}
 
 # sf0.1 row counts (TESTDATA.md) x MULT
 N_ORDERS = 150_000 * MULT
@@ -87,6 +93,8 @@ def main():
     out: dict = {"mult": MULT, "results": {}}
 
     def run(name, fn, info=None):
+        if ONLY and name not in ONLY:
+            return
         t0 = time.time()
         rows = fn()
         dt = round(time.time() - t0, 2)
@@ -114,10 +122,11 @@ def main():
 
     run("distance_band_build", _band, lambda: {"threshold": round(band_t, 4)})
     # skew evidence measured OUTSIDE the timed region (it recomputes the join)
-    out["results"]["distance_band_build"]["balance"] = partition_balance(
-        _band_g["g"].edges
-    )
-    _band_g["g"].unpersist()
+    if "g" in _band_g:
+        out["results"]["distance_band_build"]["balance"] = partition_balance(
+            _band_g["g"].edges
+        )
+        _band_g["g"].unpersist()
 
     def _knn():
         g = knn(orders, 10)
@@ -129,7 +138,11 @@ def main():
 
     from libpysal_spark.operators import delaunay as DY
 
-    dpts = synth_points(spark, N_DELAUNAY).localCheckpoint()
+    dpts = (
+        synth_points(spark, N_DELAUNAY).localCheckpoint()
+        if not ONLY or "delaunay_partitioned_100k_cells8" in ONLY
+        else None
+    )
 
     def _delaunay():
         return DY.delaunay(dpts, cells_per_side=8).edges.count()
@@ -139,12 +152,18 @@ def main():
 
     from libpysal_spark.text.ann import cosine_threshold_pairs
 
-    emb = synth_embeddings(spark, N_EMB).localCheckpoint()
+    emb = (
+        synth_embeddings(spark, N_EMB).localCheckpoint()
+        if not ONLY or "embedding_near_dup" in ONLY
+        else None
+    )
 
     def _neardup():
         return cosine_threshold_pairs(emb, 0.35, blocks=24).count()
 
     run("embedding_near_dup", _neardup, lambda: {"n_vectors": N_EMB, "blocks": 24})
+
+    from libpysal_spark import graph as GRAPH
 
     def _components():
         g = distance_band(customer, 20.0 / SQ)
@@ -152,9 +171,16 @@ def main():
         g.unpersist()
         return n
 
-    run("connected_components", _components)
+    run(
+        "connected_components",
+        _components,
+        lambda: dict(getattr(GRAPH, "last_components_info", {})),
+    )
 
-    with open(os.path.join(REPO, "scale_rehearsal.json"), "w") as f:
+    fname = (
+        "scale_rehearsal.json" if MULT == 10 else f"scale_rehearsal_{MULT}x.json"
+    )
+    with open(os.path.join(REPO, fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
