@@ -215,3 +215,23 @@ def test_write_wkt_multipolygon_roundtrip(spark, tmp_path):
         for r in back.collect()
     }
     assert got == want
+
+
+def test_read_shapefile_distributed_matches_sequential(spark):
+    """Engine shapefile reader (.shx-offset partitioned) == the sequential
+    test-scope parser on columbus.shp, ring-exact; queen over it still
+    matches the reference neighbor sets."""
+    from libpysal_spark.io.shapefile import read_shapefile
+
+    df = read_shapefile(spark, COLUMBUS_SHP)
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.id, []).append([(v["x"], v["y"]) for v in r.vertices])
+    recs = read_polygons(COLUMBUS_SHP)
+    want = {i: rings for i, rings in enumerate(recs) if rings}
+    assert set(got) == set(want)
+    for i in want:
+        assert sorted(map(tuple, (tuple(p) for r in got[i] for p in r))) == \
+            sorted(map(tuple, (tuple(p) for r in want[i] for p in r)))
+    nbrs = _neighbors(queen(df))
+    assert nbrs[4] == {2, 3, 5, 7, 8, 10, 14, 15}
