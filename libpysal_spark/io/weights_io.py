@@ -257,3 +257,130 @@ def write_dat(g: Graph, path: str) -> None:
     with open(path, "w") as f:
         for fo, ne, w in real.itertuples(index=False):
             f.write(f"{int(fo)} {int(ne)} {w}\n")
+
+
+# ---------------------------------------------------------------------------
+# STATA spmat text (reference: io/iohandlers/stata_txt.py:80-247)
+def read_stata_text(spark: SparkSession, path: str) -> Graph:
+    """STATA ``spmat`` text weights -> Graph.
+
+    Two encodings (auto-detected as the reference does): sparse
+    neighbor-ID lists (weights all 1.0; islands are lone-id lines) or the
+    full-matrix form (row = id then n weights; neighbors = positions with
+    w > 0, mapped through the row-id order). Metadata-sized files —
+    driver-side parse, same policy as GAL.
+    """
+    lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    n = int(lines[0].strip())
+    first = lines[1].split()
+    matrix_form = not (len(first) == 1 or float(first[1]) != 0.0)
+    rows = []
+    ids = []
+    if matrix_form:
+        order = []
+        raw = []
+        for ln in lines[1 : n + 1]:
+            parts = ln.split()
+            obs = int(float(parts[0]))
+            order.append(obs)
+            raw.append([float(x) for x in parts[1 : n + 1]])
+        for obs, ws in zip(order, raw):
+            ids.append(obs)
+            for j, w in enumerate(ws):
+                if w > 0:
+                    rows.append((obs, order[j], float(w)))
+    else:
+        for ln in lines[1 : n + 1]:
+            parts = [int(x) for x in ln.split()]
+            ids.append(parts[0])
+            for ngh in parts[1:]:
+                rows.append((parts[0], ngh, 1.0))
+    edges = spark.createDataFrame(
+        rows or [], "focal long, neighbor long, weight double"
+    )
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return Graph(resolve_isolates(edges, ids_df))
+
+
+def write_stata_text(g: Graph, path: str, matrix_form: bool = False) -> None:
+    """Graph -> STATA spmat text (sparse lists or full matrix)."""
+    neighbors, weights = g.neighbor_dicts()
+    order = sorted(neighbors)
+    with open(path, "w") as f:
+        f.write(f"{len(order)}\n")
+        if matrix_form:
+            pos = {obs: i for i, obs in enumerate(order)}
+            for obs in order:
+                row = [0.0] * len(order)
+                for ngh, w in zip(neighbors[obs], weights[obs]):
+                    row[pos[ngh]] = w
+                f.write(
+                    f"{obs} " + " ".join(f"{w:g}" for w in row) + "\n"
+                )
+        else:
+            for obs in order:
+                f.write(
+                    " ".join(str(x) for x in [obs] + sorted(neighbors[obs]))
+                    + "\n"
+                )
+
+
+# ---------------------------------------------------------------------------
+# GeoBUGS text (reference: io/iohandlers/geobugs_txt.py:122-287)
+def read_geobugs(spark: SparkSession, path: str) -> Graph:
+    """GeoBUGS ``list(num=c(...), adj=c(...)[, weights=c(...)])`` -> Graph.
+
+    Ids are 1-based observation positions; ``num`` gives cardinalities,
+    ``adj`` the concatenated neighbor lists, optional ``weights`` the
+    concatenated weights (default 1.0). num==0 rows are islands.
+    """
+    body = open(path).read()
+
+    def _vec(name, cast):
+        loc = body.find(name)
+        if loc == -1:
+            return None
+        seg = body[loc:]
+        start = seg.find("(")
+        depth = 0
+        for i in range(start, len(seg)):
+            if seg[i] == "(":
+                depth += 1
+            elif seg[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    seg = seg[start + 1 : i]
+                    break
+        vals = [v.strip() for v in seg.replace("\n", "").split(",")]
+        return [cast(v) for v in vals if v]
+
+    num = _vec("num", int)
+    adj = _vec("adj", int)
+    wts = _vec("weights", float) or [1.0] * sum(num)
+    rows = []
+    pos = 0
+    for i, k in enumerate(num):
+        for j in range(k):
+            rows.append((i + 1, adj[pos + j], float(wts[pos + j])))
+        pos += k
+    edges = spark.createDataFrame(
+        rows or [], "focal long, neighbor long, weight double"
+    )
+    ids_df = spark.createDataFrame([(i + 1,) for i in range(len(num))], "id long")
+    return Graph(resolve_isolates(edges, ids_df))
+
+
+def write_geobugs(g: Graph, path: str) -> None:
+    """Graph -> GeoBUGS list(...) text (reference writer layout)."""
+    neighbors, weights = g.neighbor_dicts()
+    order = sorted(neighbors)
+    cards, adj, wts = [], [], []
+    for obs in order:
+        cards.append(len(neighbors[obs]))
+        adj.extend(neighbors[obs])
+        wts.extend(weights[obs])
+    with open(path, "w") as f:
+        f.write("list(")
+        f.write("num=c({}),".format(",".join(map(str, cards))))
+        f.write("adj=c({}),".format(",".join(map(str, adj))))
+        f.write("sumNumNeigh={})".format(sum(cards)))
