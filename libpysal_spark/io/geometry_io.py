@@ -159,3 +159,127 @@ def write_wkt(polygons: DataFrame, path: str) -> None:
                     + ",".join("(" + fmt_ring(r) + ")" for r in rings)
                     + ")\n"
                 )
+
+
+# ---------------------------------------------------------------------------
+# WKB + sqlite geometry tables (reference: io/iohandlers/db.py reads a SQL
+# table's GEOMETRY column through sqlalchemy + shapely.wkb; this engine uses
+# the stdlib sqlite3 module and a minimal WKB codec written from the public
+# OGC WKB spec — Point 1, Polygon 3, MultiPolygon 6, both byte orders)
+def parse_wkb(buf: bytes) -> list[list[tuple[float, float]]]:
+    """WKB geometry -> list of vertex rings (Point yields one 1-point ring)."""
+    import struct
+
+    def geom(b, pos):
+        bo = "<" if b[pos] == 1 else ">"
+        (gt,) = struct.unpack_from(f"{bo}I", b, pos + 1)
+        gt &= 0xFF  # strip SRID/dimension flags of extended WKB
+        pos += 5
+        if gt == 1:
+            x, y = struct.unpack_from(f"{bo}2d", b, pos)
+            return [[(x, y)]], pos + 16
+        if gt == 3:
+            (nr,) = struct.unpack_from(f"{bo}I", b, pos)
+            pos += 4
+            rings = []
+            for _ in range(nr):
+                (np_,) = struct.unpack_from(f"{bo}I", b, pos)
+                pos += 4
+                flat = struct.unpack_from(f"{bo}{2 * np_}d", b, pos)
+                pos += 16 * np_
+                rings.append(
+                    [(flat[2 * i], flat[2 * i + 1]) for i in range(np_)]
+                )
+            return rings, pos
+        if gt == 6:
+            (ng,) = struct.unpack_from(f"{bo}I", b, pos)
+            pos += 4
+            rings = []
+            for _ in range(ng):
+                sub, pos = geom(b, pos)
+                rings.extend(sub)
+            return rings, pos
+        raise ValueError(f"unsupported WKB geometry type {gt}")
+
+    rings, _ = geom(buf, 0)
+    return rings
+
+
+def to_wkb(rings: list[list[tuple[float, float]]]) -> bytes:
+    """Vertex rings -> WKB (Polygon for 1+ rings, Point for one 1-point ring)."""
+    import struct
+
+    if len(rings) == 1 and len(rings[0]) == 1:
+        (x, y) = rings[0][0]
+        return struct.pack("<BI2d", 1, 1, x, y)
+    out = [struct.pack("<BII", 1, 3, len(rings))]
+    for r in rings:
+        out.append(struct.pack("<I", len(r)))
+        out.append(struct.pack(f"<{2 * len(r)}d", *[c for p in r for c in p]))
+    return b"".join(out)
+
+
+def read_sqlite_geometries(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    geom_column: str = "GEOMETRY",
+    id_column: str | None = None,
+) -> DataFrame:
+    """sqlite table with a WKB geometry column -> (id, vertices) DataFrame.
+
+    ``id_column=None`` numbers rows 0-based in rowid order (the reference's
+    feature order). Metadata-sized DBs parse driver-side; a big layer's rows
+    land as a normal distributed DataFrame afterwards.
+    """
+    import sqlite3
+
+    import pandas as pd  # noqa: F401
+
+    con = sqlite3.connect(path)
+    try:
+        sel = (
+            f'SELECT {id_column}, "{geom_column}" FROM "{table}"'
+            if id_column
+            else f'SELECT rowid, "{geom_column}" FROM "{table}" ORDER BY rowid'
+        )
+        rows = []
+        for i, (rid, blob) in enumerate(con.execute(sel)):
+            out_id = int(rid) if id_column else i
+            for ring in parse_wkb(bytes(blob)):
+                rows.append(
+                    (out_id, [{"x": float(x), "y": float(y)} for x, y in ring])
+                )
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        rows, "id long, vertices array<struct<x double, y double>>"
+    )
+
+
+def write_sqlite_geometries(
+    polygons: DataFrame, path: str, table: str, geom_column: str = "GEOMETRY"
+) -> None:
+    """(id, vertices) DataFrame -> sqlite table with WKB blobs (multi-ring
+    ids become one Polygon with multiple rings)."""
+    import sqlite3
+
+    pdf = polygons.orderBy("id").toPandas()
+    by_id: dict = {}
+    for rid, verts in zip(pdf["id"], pdf["vertices"]):
+        by_id.setdefault(int(rid), []).append(
+            [(float(v["x"]), float(v["y"])) for v in verts]
+        )
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(
+            f'CREATE TABLE "{table}" (id INTEGER PRIMARY KEY, "{geom_column}" BLOB)'
+        )
+        con.executemany(
+            f'INSERT INTO "{table}" VALUES (?, ?)',
+            [(rid, to_wkb(rings)) for rid, rings in sorted(by_id.items())],
+        )
+        con.commit()
+    finally:
+        con.close()

@@ -384,3 +384,152 @@ def write_geobugs(g: Graph, path: str) -> None:
         f.write("num=c({}),".format(",".join(map(str, cards))))
         f.write("adj=c({}),".format(",".join(map(str, adj))))
         f.write("sumNumNeigh={})".format(sum(cards)))
+
+
+# ---------------------------------------------------------------------------
+# MATLAB Level-5 MAT (reference: io/iohandlers/mat.py — scipy loadmat/savemat
+# wrapper; this engine has no scipy, so the parse is written from the public
+# MAT-File Format spec: 128-byte header, tagged elements, miCOMPRESSED zlib
+# wrapping, miMATRIX with flags/dims/name/data subelements)
+_MI_FMT = {1: "b", 2: "B", 3: "h", 4: "H", 5: "i", 6: "I", 7: "f", 9: "d"}
+
+
+def _mat_elements(buf: bytes):
+    import struct
+
+    p = 0
+    while p + 4 <= len(buf):
+        (tword,) = struct.unpack("<I", buf[p : p + 4])
+        if tword >> 16:  # small element: type/len packed in one word
+            t, n = tword & 0xFFFF, tword >> 16
+            yield t, buf[p + 4 : p + 4 + n]
+            p += 8
+        else:
+            (n,) = struct.unpack("<I", buf[p + 4 : p + 8])
+            yield tword, buf[p + 8 : p + 8 + n]
+            p += 8 + n + ((8 - n % 8) % 8)
+
+
+def read_mat(spark: SparkSession, path: str) -> Graph:
+    """MAT v5 dense matrix -> Graph (ids = 0-based positions, the
+    reference's full2W semantics: nonzero entries are edges)."""
+    import struct
+    import zlib
+
+    data = open(path, "rb").read()
+    if data[:4] not in (b"MATL",):
+        raise ValueError("not a MATLAB Level-5 MAT file")
+    for t, body in _mat_elements(data[128:]):
+        if t == 15:  # miCOMPRESSED
+            t, body = next(_mat_elements(zlib.decompress(body)))
+        if t != 14:  # miMATRIX
+            continue
+        sub = list(_mat_elements(body))
+        (flags, _) = struct.unpack("<II", sub[0][1])
+        if flags & 0xFF != 6:  # mxDOUBLE_CLASS only
+            raise ValueError(f"unsupported MATLAB array class {flags & 0xFF}")
+        rows_n, cols_n = struct.unpack("<2i", sub[1][1])
+        dt, raw = sub[3]
+        fmt = _MI_FMT[dt]
+        vals = struct.unpack(
+            f"<{len(raw) // struct.calcsize(fmt)}{fmt}", raw
+        )
+        # column-major
+        edges = []
+        for j in range(cols_n):
+            for i in range(rows_n):
+                w = float(vals[j * rows_n + i])
+                if w != 0.0:
+                    edges.append((i, j, w))
+        e_df = spark.createDataFrame(
+            edges or [], "focal long, neighbor long, weight double"
+        )
+        ids_df = spark.createDataFrame([(i,) for i in range(rows_n)], "id long")
+        return Graph(resolve_isolates(e_df, ids_df))
+    raise ValueError("no matrix element found in MAT file")
+
+
+def write_mat(g: Graph, path: str, name: str = "W") -> None:
+    """Graph -> MAT v5 (uncompressed miMATRIX, column-major miDOUBLE)."""
+    import struct
+
+    dense, order = g.to_dense()
+    n = len(order)
+    header = (b"MATLAB 5.0 MAT-file, written by libpysal_spark").ljust(124) + \
+        struct.pack("<H2s", 0x0100, b"IM")
+
+    def elem(t, payload):
+        pad = (8 - len(payload) % 8) % 8
+        return struct.pack("<II", t, len(payload)) + payload + b"\x00" * pad
+
+    name_b = name.encode()
+    body = (
+        elem(6, struct.pack("<II", 6, 0))
+        + elem(5, struct.pack("<2i", n, n))
+        + elem(1, name_b)
+        + elem(9, struct.pack(f"<{n * n}d", *dense.T.reshape(-1)))
+    )
+    with open(path, "wb") as f:
+        f.write(header + elem(14, body))
+
+
+# ---------------------------------------------------------------------------
+# Lotus WK1 (reference: io/iohandlers/wk1.py — struct record parser; written
+# here from the public WK1 record layout: [type u16][len u16][payload],
+# BOF 0x00, RANGE 0x06, INTEGER 0x0D (fmt, col, row, i16),
+# NUMBER 0x0E (fmt, col, row, f64), EOF 0x01)
+def read_wk1(spark: SparkSession, path: str) -> Graph:
+    """WK1 spreadsheet holding an n x n weight matrix -> Graph."""
+    import struct
+
+    data = open(path, "rb").read()
+    pos = 0
+    cells: dict = {}
+    nrows = ncols = 0
+    while pos + 4 <= len(data):
+        t, ln = struct.unpack("<HH", data[pos : pos + 4])
+        body = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if t == 0x01:
+            break
+        if t == 0x06:  # active range: start col/row, end col/row
+            c0, r0, c1, r1 = struct.unpack("<4H", body)
+            ncols, nrows = c1 - c0 + 1, r1 - r0 + 1
+        elif t == 0x0D:  # INTEGER cell
+            _, col, row, v = struct.unpack("<BHHh", body)
+            cells[(row, col)] = float(v)
+        elif t == 0x0E:  # NUMBER cell
+            _, col, row = struct.unpack("<BHH", body[:5])
+            (v,) = struct.unpack("<d", body[5:13])
+            cells[(row, col)] = v
+    n = max(nrows, ncols)
+    edges = [
+        (int(r), int(c), float(w)) for (r, c), w in sorted(cells.items()) if w != 0.0
+    ]
+    e_df = spark.createDataFrame(
+        edges or [], "focal long, neighbor long, weight double"
+    )
+    ids_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    return Graph(resolve_isolates(e_df, ids_df))
+
+
+def write_wk1(g: Graph, path: str) -> None:
+    """Graph -> WK1 (BOF + RANGE + one NUMBER record per cell + EOF)."""
+    import struct
+
+    dense, order = g.to_dense()
+    n = len(order)
+
+    def rec(t, payload):
+        return struct.pack("<HH", t, len(payload)) + payload
+
+    out = [rec(0x00, struct.pack("<H", 0x0406))]
+    out.append(rec(0x06, struct.pack("<4H", 0, 0, max(n - 1, 0), max(n - 1, 0))))
+    for r in range(n):
+        for c in range(n):
+            out.append(
+                rec(0x0E, struct.pack("<BHH", 0xFF, c, r) + struct.pack("<d", dense[r, c]))
+            )
+    out.append(rec(0x01, b""))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))

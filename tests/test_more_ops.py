@@ -470,3 +470,73 @@ def test_geobugs_reader_scot_fixture(spark, tmp_path):
     write_geobugs(g, p)
     g2 = read_geobugs(spark, p)
     assert g2.equals(g)
+
+
+def test_mat_wk1_cross_validate_and_roundtrip(spark, tmp_path):
+    """spat-sym-us ships in FOUR formats (mat, wk1, dat, mtx): all four
+    readers must agree on the same matrix, and mat/wk1 write->read
+    round-trips must be exact."""
+    from libpysal_spark.io.weights_io import (
+        read_mat, read_wk1, write_mat, write_wk1,
+    )
+
+    base = "/root/reference/libpysal/examples/wmat"
+    g_mat = read_mat(spark, f"{base}/spat-sym-us.mat")
+    g_wk1 = read_wk1(spark, f"{base}/spat-sym-us.wk1")
+
+    def edge_set(g):
+        return {
+            (r.focal, r.neighbor, round(r.weight, 9))
+            for r in g.edges.collect()
+            if not (r.focal == r.neighbor and r.weight == 0.0)
+        }
+
+    assert edge_set(g_mat) == edge_set(g_wk1)
+    assert len(edge_set(g_mat)) > 0
+
+    p1 = str(tmp_path / "w.mat")
+    write_mat(g_mat, p1)
+    assert edge_set(read_mat(spark, p1)) == edge_set(g_mat)
+
+    p2 = str(tmp_path / "w.wk1")
+    write_wk1(g_wk1, p2)
+    assert edge_set(read_wk1(spark, p2)) == edge_set(g_wk1)
+
+
+def test_sqlite_geometry_roundtrip_and_queen(spark, tmp_path):
+    """sqlite WKB geometry table (reference io/iohandlers/db.py surface):
+    write -> read round-trips ring-exact and queen over the table matches
+    queen over the original polygons."""
+    from libpysal_spark.io.geometry_io import (
+        parse_wkb, read_sqlite_geometries, to_wkb, write_sqlite_geometries,
+    )
+    from libpysal_spark.operators.contiguity import queen
+    from libpysal_spark.operators.lattice import lattice_polygons
+
+    pos = spark.createDataFrame(
+        [(i, i % 3, i // 3) for i in range(9)], "id long, gx int, gy int"
+    )
+    polys = lattice_polygons(spark, pos)
+    db = str(tmp_path / "geo.sqlite")
+    write_sqlite_geometries(polys, db, "areas")
+    back = read_sqlite_geometries(spark, db, "areas")
+
+    def rings(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.id, []).append(tuple((v["x"], v["y"]) for v in r.vertices))
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert rings(back) == rings(polys)
+
+    n1, _ = queen(polys).neighbor_dicts()
+    n2, _ = queen(back).neighbor_dicts()
+    assert {k: set(v) for k, v in n1.items()} == {k: set(v) for k, v in n2.items()}
+
+    # WKB codec: multipolygon + big-endian parse
+    import struct
+
+    le = to_wkb([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])
+    assert parse_wkb(le) == [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]
+    be_point = struct.pack(">BI2d", 0, 1, 2.5, -3.5)
+    assert parse_wkb(be_point) == [[(2.5, -3.5)]]
