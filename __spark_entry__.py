@@ -577,6 +577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda s, d: D.minhash_candidates(
         _docs(s, d), num_hashes=MINHASH_H, bands=MINHASH_BANDS
     ).orderBy("doc_a", "doc_b")
+    # end-to-end dedup pipeline: LSH pairs -> connected components -> one
+    # canonical keep id per cluster (min doc_id); singletons keep themselves
+    q["dedup_clusters"] = lambda s, d: D.dedup_clusters(
+        _docs(s, d),
+        D.minhash_candidates(_docs(s, d), num_hashes=MINHASH_H, bands=MINHASH_BANDS),
+    ).orderBy("doc_id")
     # full corpus (the sf0.01 fixture plants ~25 near-dup pairs above 0.1;
     # the round-1 doc_id<100 slice had none, making the oracle match vacuous)
     # max_df skew guard ACTIVE in the graded query (VERDICT r2 #4): shingles
@@ -1886,6 +1892,28 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b"""
+
+    # transitive closure of the SAME pair set, min label per reachable set
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {_shingle_cte()},
+sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS keep_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id ORDER BY doc_id"""
 
     o["ngram_jaccard"] = f"""
 WITH {_shingle_cte()},

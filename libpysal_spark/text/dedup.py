@@ -339,3 +339,37 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, keep_id) — canonical representative per near-duplicate
+    cluster: the end-to-end composition a training-data pipeline runs
+    (candidate pairs -> connected components -> keep the min id; everything
+    outside a pair keeps itself).
+
+    ``pairs``: (doc_a, doc_b) near-dup pairs from any of the pair
+    generators (MinHash-LSH, SimHash, n-gram Jaccard, embedding). The
+    components run on the engine's alternating-star contraction — O(log n)
+    rounds, no driver-side graph — so a billion-document corpus with
+    million-member boilerplate clusters contracts in the same plan shape.
+    """
+    from libpysal_spark.graph import Graph
+
+    e = (
+        pairs.select(F.col("doc_a").alias("focal"), F.col("doc_b").alias("neighbor"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("focal"), F.col("doc_a").alias("neighbor"))
+        )
+        .withColumn("weight", F.lit(1.0))
+    )
+    labels = Graph(e).component_labels()
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(
+        labels.select(F.col("id").alias("doc_id"), F.col("component").alias("keep_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("keep_id", F.col("doc_id")).alias("keep_id")
+    )

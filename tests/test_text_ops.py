@@ -268,3 +268,16 @@ def test_ivf_kmeans_quantizer(spark):
     got = {(r.query_id, r.neighbor_id) for r in part.collect()}
     want = {(k_[0], v) for k_, v in exact.items()}
     assert len(got & want) >= 0.5 * len(want)
+
+
+def test_dedup_clusters_canonical_keep(spark):
+    """pairs {(0,1),(1,2)} + {(5,6)}: one 3-cluster keeps 0, the pair keeps
+    5, everyone else keeps themselves."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.keep_id for r in D.dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
