@@ -1326,3 +1326,179 @@ class Graph:
         return self.edges.filter(
             (F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0)
         ).select(F.col("focal").alias("id"))
+
+    # -- reference-name compatibility surface ---------------------------
+    # The reference exposes these exact names on Graph (graph/base.py
+    # public API); each delegates to the engine's native machinery so a
+    # libpysal user's code runs name-for-name. Builders import lazily to
+    # avoid module cycles (operators import Graph from here).
+
+    @property
+    def n(self) -> int:
+        """Number of nodes (reference graph/base.py ``n``)."""
+        return self._ids().count()
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n
+
+    @property
+    def n_edges(self) -> int:
+        return _real_edges(self.edges).count()
+
+    @property
+    def pct_nonzero(self) -> float:
+        """Percentage of nonzero weights in the dense view (reference
+        weights/weights.py ``pct_nonzero``)."""
+        n = self.n
+        return 100.0 * self.n_edges / (n * n) if n else 0.0
+
+    def nonzero(self) -> int:
+        return self.n_edges
+
+    @property
+    def isolates(self) -> DataFrame:
+        """Reference name for :meth:`islands`."""
+        return self.islands()
+
+    @property
+    def unique_ids(self) -> DataFrame:
+        return self._ids()
+
+    def index_pairs(self) -> DataFrame:
+        """(focal, neighbor) pairs of real edges (reference ``index_pairs``)."""
+        return _real_edges(self.edges).select("focal", "neighbor")
+
+    @property
+    def neighbors(self) -> dict:
+        """Driver-side dict-of-lists view (reference adjacency accessor)."""
+        return self.neighbor_dicts()[0]
+
+    @property
+    def weights(self) -> dict:
+        return self.neighbor_dicts()[1]
+
+    @property
+    def adjacency(self) -> DataFrame:
+        """The adjacency table itself (reference returns a pandas Series;
+        the engine's native form is the edge DataFrame)."""
+        return self.edges
+
+    def copy(self) -> "Graph":
+        return Graph(self.edges, self.transformation)
+
+    def make_symmetric(self) -> "Graph":
+        """Reference name for :meth:`symmetrize` (max policy)."""
+        return self.symmetrize("max")
+
+    def aggregate(self, y: DataFrame, func, schema: str, value_col: str = "y") -> DataFrame:
+        """Reference ``aggregate`` — see :meth:`apply_neighborhoods`."""
+        return self.apply_neighborhoods(y, func, schema, value_col)
+
+    def apply(self, y: DataFrame, func, schema: str, value_col: str = "y") -> DataFrame:
+        """Reference ``apply`` — see :meth:`apply_neighborhoods`."""
+        return self.apply_neighborhoods(y, func, schema, value_col)
+
+    def to_gal(self, path: str) -> None:
+        from libpysal_spark.io.weights_io import write_gal
+
+        write_gal(self, path)
+
+    def to_gwt(self, path: str) -> None:
+        from libpysal_spark.io.weights_io import write_gwt
+
+        write_gwt(self, path)
+
+    def to_parquet(self, path: str) -> None:
+        from libpysal_spark.io.weights_io import write_parquet
+
+        write_parquet(self, path)
+
+    # -- reference build_* constructors --------------------------------
+    @classmethod
+    def build_contiguity(cls, polygons: DataFrame, rook: bool = False) -> "Graph":
+        from libpysal_spark.operators import contiguity as C
+
+        return C.rook(polygons) if rook else C.queen(polygons)
+
+    @classmethod
+    def build_block_contiguity(cls, labels: DataFrame, **kw) -> "Graph":
+        from libpysal_spark.operators.contiguity import block_weights
+
+        return block_weights(labels, **kw)
+
+    @classmethod
+    def build_fuzzy_contiguity(cls, polygons: DataFrame, cell_size: float) -> "Graph":
+        from libpysal_spark.operators.contiguity import fuzzy_contiguity
+
+        return fuzzy_contiguity(polygons, cell_size)
+
+    @classmethod
+    def build_knn(cls, points: DataFrame, k: int, **kw) -> "Graph":
+        from libpysal_spark.operators.distance import knn
+
+        return knn(points, k, **kw)
+
+    @classmethod
+    def build_distance_band(cls, points: DataFrame, threshold: float, **kw) -> "Graph":
+        from libpysal_spark.operators.distance import distance_band
+
+        return distance_band(points, threshold, **kw)
+
+    @classmethod
+    def build_kernel(cls, points: DataFrame, bandwidth: float, kernel: str = "gaussian", **kw) -> "Graph":
+        from libpysal_spark.operators.distance import kernel_weights
+
+        return kernel_weights(points, bandwidth, kernel, **kw)
+
+    @classmethod
+    def build_triangulation(cls, points: DataFrame, method: str = "delaunay", **kw) -> "Graph":
+        if method == "delaunay":
+            from libpysal_spark.operators.delaunay import delaunay
+
+            return delaunay(points, **kw)
+        if method == "gabriel":
+            from libpysal_spark.operators.triangulation import gabriel
+
+            return gabriel(points, **kw)
+        if method == "relative_neighborhood":
+            from libpysal_spark.operators.triangulation import relative_neighborhood
+
+            return relative_neighborhood(points, **kw)
+        raise ValueError(f"unknown triangulation method {method!r}")
+
+    @classmethod
+    def build_raster_contiguity(cls, cells: DataFrame, nrows: int, ncols: int, criterion: str = "rook", **kw) -> "Graph":
+        from libpysal_spark.operators.raster import raster_contiguity
+
+        return raster_contiguity(cells, nrows, ncols, criterion, **kw)
+
+    @classmethod
+    def build_h3(cls, cells: DataFrame, **kw) -> "Graph":
+        from libpysal_spark.operators.cellgraph import cell_graph
+
+        return cell_graph(cells, **kw)
+
+    @classmethod
+    def build_spatial_matches(cls, points: DataFrame, n_matches: int = 1) -> "Graph":
+        from libpysal_spark.operators.matching import spatial_matching
+
+        return spatial_matching(points, n_matches)
+
+    @classmethod
+    def build_travel_cost(cls, edges: DataFrame, origins: DataFrame, threshold: float) -> "Graph":
+        """Routed travel-cost weights (reference build_travel_cost):
+        threshold-bounded shortest-path neighbors over a directed network."""
+        from libpysal_spark.operators.network import nodes_in_range
+
+        out = nodes_in_range(edges, origins, threshold).filter(
+            F.col("origin") != F.col("destination")
+        )
+        pairs = out.select(
+            F.col("origin").alias("focal"),
+            F.col("destination").alias("neighbor"),
+            F.col("cost").alias("weight"),
+        )
+        return Graph(
+            resolve_isolates(pairs, origins.select(F.col("id")))
+        )

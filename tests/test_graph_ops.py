@@ -388,3 +388,47 @@ def test_from_sparse_sums_duplicate_coo(spark):
         for r in g.edges.filter("weight != 0.0 or focal != neighbor").collect()
     }
     assert got == {(0, 1): 5.0, (1, 0): 1.5, (0, 2): -1.0}
+
+
+def test_reference_name_compat_surface(spark, tmp_path):
+    """Every reference Graph public name resolves and delegates correctly —
+    a libpysal user's code runs name-for-name (graph/base.py API)."""
+    from libpysal_spark.graph import Graph
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 3), float(i // 3)) for i in range(9)],
+        "id long, x double, y double",
+    )
+    g = Graph.build_knn(pts, 2)
+    assert g.n == 9 and g.n_nodes == 9
+    assert g.n_edges == 18
+    assert abs(g.pct_nonzero - 100.0 * 18 / 81) < 1e-12
+    assert g.nonzero() == 18
+    assert g.isolates.count() == 0
+    assert g.unique_ids.count() == 9
+    assert g.index_pairs().count() == 18
+    assert set(g.neighbors) == set(range(9)) and len(g.weights[0]) == 2
+    assert g.adjacency.columns == ["focal", "neighbor", "weight"]
+    assert g.copy().equals(g)
+    assert g.make_symmetric().equals(g.symmetrize("max"))
+
+    p = str(tmp_path / "w.gal")
+    g.transform("B").to_gal(p)
+    from libpysal_spark.io.weights_io import read_gal
+
+    assert read_gal(spark, p).index_pairs().count() >= 18
+
+    assert Graph.build_distance_band(pts, 1.0).n_edges > 0
+    assert Graph.build_kernel(pts, 2.0).n == 9
+    labels = spark.createDataFrame([(i, i % 2) for i in range(6)], "id long, regime long")
+    assert Graph.build_block_contiguity(labels).n_edges == 2 * (2 + 3 + 1)  # C(3,2)*2 per block... compute below
+    assert Graph.build_triangulation(pts, "gabriel").n == 9
+    assert Graph.build_spatial_matches(pts.limit(6), 1).n == 6
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 5.0)], "src long, dst long, cost double"
+    )
+    o = spark.createDataFrame([(0,)], "id long")
+    tg = Graph.build_travel_cost(e, o, threshold=2.0)
+    got = {(r.focal, r.neighbor): r.weight for r in tg.edges.collect()}
+    assert got == {(0, 1): 1.0, (0, 2): 2.0}
