@@ -1399,6 +1399,24 @@ class Graph:
         """Reference ``apply`` — see :meth:`apply_neighborhoods`."""
         return self.apply_neighborhoods(y, func, schema, value_col)
 
+    def to_networkx(self, directed: bool = False):
+        """Graph -> networkx (reference graph/base.py ``to_networkx``).
+
+        Import-gated like :meth:`from_networkx` (driver-side, small graphs)."""
+        try:
+            import networkx as nx
+        except ImportError as e:  # pragma: no cover - env without networkx
+            raise ImportError(
+                "to_networkx requires the networkx package on the driver"
+            ) from e
+        g = nx.DiGraph() if directed else nx.Graph()
+        for f, n, w in self.edges.collect():
+            if f == n and w == 0.0:
+                g.add_node(f)
+            else:
+                g.add_edge(f, n, weight=w)
+        return g
+
     def to_gal(self, path: str) -> None:
         from libpysal_spark.io.weights_io import write_gal
 
