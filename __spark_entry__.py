@@ -109,7 +109,18 @@ def _lattice_positions(spark: SparkSession, sf_dir: str):
 def _edges_out(g: Graph, round_w: int | None = None) -> DataFrame:
     e = g.sorted()
     if round_w is not None:
-        e = e.select("focal", "neighbor", F.round("weight", round_w).alias("weight"))
+        # IEEE signed zero at the comparison boundary (VERDICT r5 #1, fixed
+        # on the SPARK side because oracle_sql is frozen): DuckDB's round()
+        # preserves the sign of a negative value rounding to zero (-2e-7 ->
+        # -0.0) while Spark's BigDecimal round returns +0.0. Emit -0.0
+        # exactly when the unrounded weight is negative and rounds to zero —
+        # bit-identical to the oracle for every signed-valued query
+        # (transform_c), a no-op for the non-negative rest.
+        rounded = F.round("weight", round_w)
+        w = F.when((F.col("weight") < 0) & (rounded == 0), F.lit(-0.0)).otherwise(
+            rounded
+        )
+        e = e.select("focal", "neighbor", w.alias("weight"))
     return e
 
 

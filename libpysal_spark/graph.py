@@ -1086,23 +1086,36 @@ class Graph:
         """
 
         def star(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
+            # r6 (guide §2.4): m = min over u's neighborhood is computed as a
+            # whole-partition window over ONE exchange of the neighbor list,
+            # instead of the old groupBy(min) + join-back — which cost two
+            # exchanges per star (the aggregate's and the join side's) for
+            # the same row flow. Skew profile is unchanged: a hot node's
+            # rows land on one partition under either plan; the window's
+            # per-group buffer is spillable.
             nbrs = e.unionByName(
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            m = nbrs.groupBy("u").agg(
-                F.least(F.min("v"), F.first("u")).alias("m")
+            wu = Window.partitionBy("u")
+            j = nbrs.withColumn(
+                "m", F.least(F.min("v").over(wu), F.col("u"))
             )
-            j = nbrs.join(m, "u")
             if large:
                 # attach strictly-greater neighbors to u's min
                 out = j.filter(F.col("v") > F.col("u")).select(
                     F.col("v").alias("u"), F.col("m").alias("v")
                 )
             else:
+                # the u -> m star edges: one row per u, deduped WITHOUT a new
+                # exchange (input is already hash-distributed by u)
                 out = (
                     j.filter(F.col("v") <= F.col("u"))
                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                    .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+                    .unionByName(
+                        j.select("u", "m")
+                        .dropDuplicates(["u"])
+                        .select(F.col("u"), F.col("m").alias("v"))
+                    )
                 )
             out = out.filter(F.col("u") != F.col("v"))
             # dedup is one full exchange; duplicates don't change any groupBy
@@ -1123,12 +1136,16 @@ class Graph:
             ).first()
             return (r["c"], r["h"])
 
+        # LAZY checkpoints (r6): the signature aggregate is a full scan, so it
+        # materializes the checkpoint in the SAME job — one driver-synchronous
+        # job per round instead of two (eager checkpoint + sig). Lineage is
+        # still cut at every round.
         e = (
             _real_edges(self.edges)
             .select(F.col("focal").alias("u"), F.col("neighbor").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         prev = _sig(e)
         rounds = 0
@@ -1136,7 +1153,9 @@ class Graph:
             rounds += 1
             # one checkpoint per round: the large-star stage stays lazy inside
             # the small-star job (lineage depth stays bounded at 2 stars)
-            e2 = star(star(e, large=True, dedup=False), large=False).localCheckpoint()
+            e2 = star(star(e, large=True, dedup=False), large=False).localCheckpoint(
+                eager=False
+            )
             cur = _sig(e2)
             if cur == prev:
                 # exact confirmation, only at apparent convergence (ADVICE

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from libpysal_spark.graph import Graph, resolve_isolates
 from libpysal_spark.functions.kernels import kernel_expr
 from libpysal_spark.plans.skew import salted_self_join
-from libpysal_spark.tiling import explode_to_ring, pack_cell, with_cells
+from libpysal_spark.tiling import (
+    ensure_min_parallelism,
+    explode_to_ring,
+    pack_cell,
+    with_cells,
+)
 
 POINT_COLS = ("id", "x", "y")
 
@@ -64,7 +69,9 @@ def candidate_pairs(
     s = float(cell_size or radius)
     # ring count r such that r*s >= radius (ceil)
     r = max(1, int(-(-radius // s)))
-    tagged = with_cells(points.select(*POINT_COLS), s)
+    tagged = with_cells(
+        ensure_min_parallelism(points.select(*POINT_COLS)), s
+    )
     right = tagged.select(
         F.col("id").alias("neighbor"),
         F.col("x").alias("x_n"),
@@ -220,15 +227,18 @@ def knn_table(
     through deterministically, which matches the reference's 'clique'-style
     inclusion when k accommodates them.
     """
-    pts = points.select(*POINT_COLS)
-    n = pts.count()
+    pts = ensure_min_parallelism(points.select(*POINT_COLS))
+    # ONE pass computes count + bounds together (r6: the separate count()
+    # was a second full scan of the input before any real work started)
+    stats = pts.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).first()
+    n = stats["n"]
     if cell_size is None:
-        bounds = pts.agg(
-            F.min("x").alias("x0"), F.max("x").alias("x1"),
-            F.min("y").alias("y0"), F.max("y").alias("y1"),
-        ).first()
-        area = max((bounds.x1 - bounds.x0) * (bounds.y1 - bounds.y0), 1e-12)
-        density = n / area
+        area = max((stats.x1 - stats.x0) * (stats.y1 - stats.y0), 1e-12)
+        density = max(n, 1) / area
         # E[kth-NN dist] ~ sqrt((k+1)/(pi*rho)); size the cell so the ring-1
         # guarantee (r*s = s) covers ~1.6x that => ~99% of foci resolve in
         # round one and later rounds touch only the sparse-region residue.
@@ -250,7 +260,6 @@ def knn_table(
     for round_no in range(max_rounds):
         if n_unresolved == 0:
             break
-        wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
         guarantee = float(r) * float(cell_size)
         # pre-filter to the guarantee radius BEFORE the window: a focal only
         # resolves when its kth neighbor is within r·s, and for such foci the
@@ -319,30 +328,47 @@ def knn_table(
                 .withColumn("dist", _dist(p))
                 .filter(F.col("dist") <= F.lit(guarantee))
             )
-        # rank, truncate to k, and decide resolution in ONE pass: a focal is
-        # resolved iff its kth candidate exists and is within the guarantee.
-        # ONE eager localCheckpoint per round materializes the ranked
-        # candidates; every downstream consumer (resolved rows, the anti-join,
-        # the final union) reads the checkpointed blocks, which are
-        # GC-reclaimed when the plan is dropped — no session-lifetime cache
-        # pinning. On a real cluster this becomes a reliable checkpoint (and
-        # the resume point).
+        # hash-aggregate top-k (r6, guide §2.3 "aggregate before you
+        # shuffle"): collect each focal's candidates into an array, sort,
+        # slice k — replacing the row_number window, which hash-shuffled
+        # every candidate row and then SORTED whole partitions. The struct
+        # sort (dist, neighbor) is exactly the window's ORDER BY, so rows
+        # and values are identical; per-group state is degree-bounded
+        # (candidates are pre-filtered to the guarantee radius). A focal
+        # resolves iff it found >= k candidates (all within the guarantee
+        # by the pre-filter). ONE eager localCheckpoint per round
+        # materializes the per-focal arrays — one row per focal, k structs —
+        # which is smaller than the old per-candidate-row checkpoint; on a
+        # real cluster this becomes a reliable checkpoint (the resume point).
         topk = (
-            cand.withColumn("__rk", F.row_number().over(wnd))
-            .filter(F.col("__rk") <= k)
-            .withColumn(
-                "__ok",
-                (F.max(F.when(F.col("__rk") == k, F.col("dist"))).over(
-                    Window.partitionBy("focal")
-                ) <= guarantee),
+            cand.groupBy("focal")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("dist", "neighbor"))),
+                    1,
+                    k,
+                ).alias("__nn")
             )
-        ).localCheckpoint()
+            .withColumn("__ok", F.size("__nn") >= k)
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint: the resolved-count below is a full scan and
+        # materializes it in the same job (one job per round, not two)
+        resolved = topk.filter(F.col("__ok"))
         resolved_parts.append(
-            topk.filter(F.col("__ok")).select("focal", "neighbor", "dist")
+            resolved.select("focal", F.explode("__nn").alias("__e")).select(
+                "focal",
+                F.col("__e.neighbor").alias("neighbor"),
+                F.col("__e.dist").alias("dist"),
+            )
         )
-        ok_ids = topk.filter(F.col("__ok")).select(F.col("focal").alias("id")).distinct()
-        unresolved = unresolved.join(ok_ids, "id", "left_anti")
-        n_unresolved = unresolved.count()
+        # resolved focal count (a cheap agg on the checkpointed arrays)
+        # replaces the old anti-join + count over the full point table; the
+        # anti-join is only built when a next round will actually run.
+        n_unresolved -= resolved.count()
+        if n_unresolved > 0:
+            unresolved = unresolved.join(
+                resolved.select(F.col("focal").alias("id")), "id", "left_anti"
+            )
         r *= 2
         global last_knn_info
         last_knn_info = {

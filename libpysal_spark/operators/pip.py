@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libpysal_spark.tiling import pack_cell
+from libpysal_spark.tiling import ensure_min_parallelism, pack_cell
 
 
 def _polygon_cells(polygons: DataFrame, cell_size: float) -> DataFrame:
@@ -56,7 +56,7 @@ def pip_join(
     each polygon covers O(1) cells.
     """
     s = float(cell_size)
-    pts = points.select(
+    pts = ensure_min_parallelism(points).select(
         F.col("id").alias("point_id"),
         "x",
         "y",

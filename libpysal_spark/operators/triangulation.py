@@ -72,9 +72,19 @@ def _blockers_brute(pairs: DataFrame, points: DataFrame, predicate) -> DataFrame
     return pairs.join(witnesses, ["focal", "neighbor"], "left_anti")
 
 
-def _blockers_grid(pairs: DataFrame, points: DataFrame, predicate, radius: float) -> DataFrame:
+def _blockers_grid(
+    pairs: DataFrame, points: DataFrame, predicate, radius: float, ring: int = 2
+) -> DataFrame:
     """Grid-pruned witness search: witnesses lie within d_ij of both endpoints,
-    hence within the ring cover of the pair midpoint at radius d_ij/2 + eps."""
+    hence within the ring cover of the pair midpoint at radius d_ij/2 + eps.
+
+    ``ring`` sizes the probe cover (cells are radius/2): a Gabriel blocker is
+    strictly inside the diameter circle — within d_ij/2 <= radius/2 = one
+    cell — so ring=1 (9 probes) is a complete cover; an RNG blocker sits in
+    the lune within (sqrt(3)/2)·d_ij <= 0.87·radius = 1.74 cells of the
+    midpoint, needing ring=2 (25 probes). r6: Gabriel passes 1 (the shared
+    constant 2 shuffled 2.8x the probe rows it needed).
+    """
     s = float(radius) / 2.0
     mid = pairs.withColumn("mx", (F.col("x_f") + F.col("x_n")) / 2.0).withColumn(
         "my", (F.col("y_f") + F.col("y_n")) / 2.0
@@ -83,7 +93,8 @@ def _blockers_grid(pairs: DataFrame, points: DataFrame, predicate, radius: float
         "mcy", F.floor(F.col("my") / F.lit(s))
     )
     offs = F.expr(
-        "flatten(transform(sequence(-2, 2), dx -> transform(sequence(-2, 2), dy -> struct(dx, dy))))"
+        f"flatten(transform(sequence(-{ring}, {ring}), dx -> "
+        f"transform(sequence(-{ring}, {ring}), dy -> struct(dx, dy))))"
     )
     probes = mid.withColumn("__o", F.explode(offs)).withColumn(
         "probe", pack_cell(F.col("mcx") + F.col("__o.dx"), F.col("mcy") + F.col("__o.dy"))
@@ -143,10 +154,13 @@ def _build(
     candidate_radius: float | None,
     method: str = "delaunay",
     cells_per_side: int = 1,
+    witness_ring: int = 2,
 ) -> Graph:
     if candidate_radius is not None:
         pairs = candidate_pairs(points, candidate_radius)
-        kept = _blockers_grid(pairs, points, predicate_builder(), candidate_radius)
+        kept = _blockers_grid(
+            pairs, points, predicate_builder(), candidate_radius, witness_ring
+        )
     elif method == "brute":
         pairs = _all_pairs(points)
         kept = _blockers_brute(pairs, points, predicate_builder())
@@ -159,7 +173,8 @@ def _build(
             kept = pairs
         else:
             kept = _blockers_grid(
-                pairs, points, predicate_builder(), float(max_d) * 1.0000001
+                pairs, points, predicate_builder(), float(max_d) * 1.0000001,
+                witness_ring,
             )
     edges = kept.select("focal", "neighbor").withColumn("weight", F.lit(1.0))
     return Graph(resolve_isolates(edges, points.select("id")))
@@ -191,7 +206,7 @@ def gabriel(
         djk2 = _d2("x_n", "y_n", "x_k", "y_k")
         return dij2 > (dik2 + djk2)
 
-    return _build(points, pred, candidate_radius, method, cells_per_side)
+    return _build(points, pred, candidate_radius, method, cells_per_side, witness_ring=1)
 
 
 def relative_neighborhood(

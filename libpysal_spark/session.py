@@ -39,6 +39,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # r6 (guide §3.1 / §9): let the planner pick shuffled-hash joins when
+        # the per-partition build side fits — sort-merge pays two full sorts
+        # per join that hash joins skip. AQE skew splitting stays on, so a
+        # skewed build partition is split rather than OOMing. Env-overridable
+        # for A/B and cluster-specific rollback.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # r6 (guide §4.2 batch sizing analog for JVM aggs): collect_list /
+        # first-style object aggregates fall back to SORT-based aggregation
+        # after only 128 distinct keys per task by default — the kNN top-k
+        # and per-cell tagging aggregates carry 10^4-10^5 keys per task whose
+        # buffers are k-bounded structs (a few MB at 65k keys), so the hash
+        # path is both faster and memory-safe; past the threshold it still
+        # spills via the sort fallback.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from libpysal_spark.tiling import ensure_min_parallelism
+
 TOKEN_RE = r"\s+"
 
 
@@ -86,7 +88,7 @@ def minhash_signatures(
     permutations — K multiplies instead of K md5s. Exploded-shingle groupBy:
     one shuffle by doc, mins with map-side combine — linear in corpus size.
     """
-    sh = docs.select(
+    sh = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     ).withColumn("__h", portable_hash(F.col("sh")) % F.lit(MINHASH_P))
     aggs = []
@@ -102,22 +104,29 @@ def minhash_signatures(
 def lsh_bands(
     sigs: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(doc_id, band, band_hash) — LSH banding of MinHash signatures."""
+    """(doc_id, band, band_hash) — LSH banding of MinHash signatures.
+
+    r6: one explode over an inline array of (band, band_hash) structs — the
+    old per-band union re-evaluated the whole signature subtree (shingle
+    explode + md5 + groupBy) once per band; each branch below the reused
+    exchange still re-ran the final aggregate. Single pass, identical rows.
+    """
     rows = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        band_cols = [F.col("sig")[i].cast("string") for i in range(b * rows, (b + 1) * rows)]
-        parts.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *band_cols)).alias("band_hash"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[F.col("sig")[i].cast("string") for i in range(b * rows, (b + 1) * rows)],
+                )
+            ).alias("band_hash"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("doc_id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
 
 
 def minhash_candidates(
@@ -229,7 +238,9 @@ def simhash(
     :func:`simhash_near_pairs` at too few values per block for corpus-scale
     candidate joins. ``bits <= 32`` keeps the legacy 32-bit token hash.
     """
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    tok = ensure_min_parallelism(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    )
     hash_fn = portable_hash32 if bits <= 32 else portable_hash
     tok = tok.withColumn("h", hash_fn(F.col("tok")))
     bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")

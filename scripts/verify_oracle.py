@@ -40,17 +40,20 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str) -> list[st
     for c in scols:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = np.allclose(
-                av.astype(float), bv.astype(float), rtol=0, atol=1e-12, equal_nan=True
+            # BIT-EXACT float compare (VERDICT r5 #2): the driver hashes
+            # values, so -0.0 vs +0.0 or 1-ulp drift must FAIL here too —
+            # np.allclose treated -0.0 == 0.0 and let transform_c ship red.
+            ab = av.astype(float).to_numpy().tobytes()
+            bb = bv.astype(float).to_numpy().tobytes()
+            ok = ab == bb
+            mism = (
+                av.astype(float).to_numpy().view(np.uint64)
+                != bv.astype(float).to_numpy().view(np.uint64)
             )
         else:
-            ok = (av.astype(object) == bv.astype(object)).all()
+            mism = (av.astype(object) != bv.astype(object)).to_numpy()
+            ok = not mism.any()
         if not ok:
-            mism = (
-                ~np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-12, equal_nan=True)
-                if av.dtype.kind == "f"
-                else (av.astype(object) != bv.astype(object))
-            )
             idx = np.where(mism)[0][:3]
             problems.append(
                 f"col {c}: {int(np.sum(mism))} mismatches, first rows {idx.tolist()} "

@@ -330,3 +330,48 @@ def test_alpha_shape_auto_selection(spark):
     assert kept_set == expect_keep
     # the chosen complex itself is valid and severs nothing
     assert valid(sorted(kept_set), n)
+
+
+def test_alpha_shape_auto_distributed_path(spark):
+    """r6 scale path (VERDICT r5 #3): with max_driver_tris=0 the selection
+    runs the bounded-candidate distributed sweep — no O(#tris) collect. The
+    chosen complex must satisfy the same validity invariants (coverage,
+    Euler==1, one edge-connected component) as the driver path, and be
+    deterministic across invocations."""
+    import numpy as np
+
+    from libpysal_spark.operators.delaunay import alpha_shape_auto
+
+    rng = np.random.RandomState(11)
+    blob1 = rng.uniform(0, 10, (60, 2))
+    blob2 = rng.uniform(20, 28, (50, 2)) + [0, 1]
+    bridge = np.column_stack([np.linspace(10, 20, 8), np.full(8, 5.0)])
+    xy = np.vstack([blob1, bridge, blob2])
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    alpha, radius, kept = alpha_shape_auto(pts, max_driver_tris=0)
+    k = [(r.a, r.b, r.c) for r in kept.select("a", "b", "c").collect()]
+    n = len(xy)
+
+    verts, edges, adj = set(), set(), {}
+    for t in k:
+        verts.update(t)
+        for u, v in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+            ek = (min(u, v), max(u, v))
+            edges.add(ek)
+            adj.setdefault(ek, []).append(t)
+    assert verts == set(range(n))                      # coverage
+    assert len(verts) - len(edges) + len(k) == 1       # Euler
+    seen, stack = {k[0]}, [k[0]]
+    while stack:
+        t = stack.pop()
+        for u, v in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+            for o in adj[(min(u, v), max(u, v))]:
+                if o not in seen:
+                    seen.add(o)
+                    stack.append(o)
+    assert len(seen) == len(k)                         # one component
+
+    alpha2, radius2, _ = alpha_shape_auto(pts, max_driver_tris=0)
+    assert (alpha2, radius2) == (alpha, radius)        # deterministic
