@@ -116,14 +116,24 @@ def resolve_isolates(edges: DataFrame, ids: DataFrame, persist: bool = True) -> 
 
     The result unions two branches over the same ``edges`` subtree (the edges
     themselves + the anti-join that finds isolates); without reuse Spark
-    computes the upstream join twice. ``persist=True`` marks the edge branch
-    for reuse — on a cluster this would be a checkpoint to storage. The pin
-    is scoped to the owning Graph's lifetime (see :func:`pin_for`), not the
-    session's.
+    computes the upstream join twice. ``persist=True`` cuts the subtree with
+    a LAZY local checkpoint: the first action materializes it once, both
+    branches read the same blocks, and the blocks are reclaimed by Spark's
+    context cleaner when the last derived plan is garbage-collected — on a
+    cluster this becomes a reliable checkpoint to storage.
+
+    r6: this replaces the r2-era ``persist()`` pinned to the owning Graph's
+    lifetime. In the ubiquitous ``Graph(...).edges`` pattern the temporary
+    Graph was collected BEFORE the first action ran, so the pin unpersisted
+    the cache before it ever filled and every builder computed its candidate
+    join TWICE — the round-start explain captures
+    (plans/r06/*_before.txt) show the doubled subtree. Checkpoint lifetime
+    follows the JVM plan references instead of the Python wrapper object,
+    which is the semantics the pin was trying to approximate.
     """
-    pinned = None
+    source = edges
     if persist:
-        edges = pinned = edges.persist()
+        edges = edges.localCheckpoint(eager=False)
     isolates = (
         ids.join(edges.select(F.col("focal").alias("id")).distinct(), "id", "left_anti")
         .select(
@@ -133,7 +143,11 @@ def resolve_isolates(edges: DataFrame, ids: DataFrame, persist: bool = True) -> 
         )
     )
     out = edges.select(*EDGE_COLS).unionByName(isolates)
-    return pin_for(out, pinned) if pinned is not None else out
+    # the checkpoint hides the builder subtree from explain(); keep the
+    # pre-checkpoint plan reachable for the plan-quality gates
+    # (tests/test_plans.py) — it is the exact plan the checkpoint compiles.
+    out._lps_source = source
+    return out
 
 
 def _real_edges(edges: DataFrame):
@@ -151,6 +165,9 @@ class Graph:
     def __init__(self, edges: DataFrame, transformation: str = "O"):
         self.edges = edges.select(*EDGE_COLS)
         self.transformation = transformation
+        #: pre-checkpoint builder plan when built via resolve_isolates —
+        #: explain() introspection only (the executed plan is its checkpoint)
+        self.edges_source = getattr(edges, "_lps_source", None)
         pinned = getattr(edges, "_lps_pinned", None)
         if pinned:
             # cache lifetime == Graph lifetime: unpersist when this Graph is

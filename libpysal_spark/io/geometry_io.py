@@ -172,9 +172,25 @@ def parse_wkb(buf: bytes) -> list[list[tuple[float, float]]]:
 
     def geom(b, pos):
         bo = "<" if b[pos] == 1 else ">"
-        (gt,) = struct.unpack_from(f"{bo}I", b, pos + 1)
-        gt &= 0xFF  # strip SRID/dimension flags of extended WKB
+        (raw_gt,) = struct.unpack_from(f"{bo}I", b, pos + 1)
         pos += 5
+        # EWKB flag handling (ADVICE r5): the PostGIS SRID flag means 4 SRID
+        # bytes follow the type word — skip them (they are NOT a ring
+        # count); Z/M flags and ISO Z/M type codes (1001, 2003, 3006, ...)
+        # carry per-vertex dimensions this 2-D codec does not decode — raise
+        # a clear error instead of misparsing coordinates.
+        if raw_gt & 0x20000000:  # EWKB SRID flag
+            pos += 4
+        if raw_gt & 0xC0000000:  # EWKB Z / M flags
+            raise ValueError(
+                f"EWKB Z/M geometry (type word 0x{raw_gt:08x}) not supported: "
+                "plain 2-D WKB only"
+            )
+        gt = raw_gt & 0x1FFFFFFF
+        if gt >= 1000:  # ISO WKB Z/M/ZM code ranges (1000/2000/3000 offsets)
+            raise ValueError(
+                f"ISO WKB Z/M geometry type {gt} not supported: plain 2-D WKB only"
+            )
         if gt == 1:
             x, y = struct.unpack_from(f"{bo}2d", b, pos)
             return [[(x, y)]], pos + 16

@@ -476,8 +476,12 @@ def write_mat(g: Graph, path: str, name: str = "W") -> None:
 # ---------------------------------------------------------------------------
 # Lotus WK1 (reference: io/iohandlers/wk1.py — struct record parser; written
 # here from the public WK1 record layout: [type u16][len u16][payload],
-# BOF 0x00, RANGE 0x06, INTEGER 0x0D (fmt, col, row, i16),
-# NUMBER 0x0E (fmt, col, row, f64), EOF 0x01)
+# BOF 0x00, RANGE 0x06, INTEGER 0x0D, NUMBER 0x0E, EOF 0x01.
+# Cell index order: the reference handler reads/writes (fmt, ROW, COLUMN)
+# (io/iohandlers/wk1.py:232 `row, column = struct.unpack(...)`) — matched
+# here since reference interop is the compatibility target (ADVICE r5:
+# the earlier col-first parse silently TRANSPOSED asymmetric matrices
+# exchanged with the reference; symmetric fixtures masked it).
 def read_wk1(spark: SparkSession, path: str) -> Graph:
     """WK1 spreadsheet holding an n x n weight matrix -> Graph."""
     import struct
@@ -496,10 +500,10 @@ def read_wk1(spark: SparkSession, path: str) -> Graph:
             c0, r0, c1, r1 = struct.unpack("<4H", body)
             ncols, nrows = c1 - c0 + 1, r1 - r0 + 1
         elif t == 0x0D:  # INTEGER cell
-            _, col, row, v = struct.unpack("<BHHh", body)
+            _, row, col, v = struct.unpack("<BHHh", body)
             cells[(row, col)] = float(v)
         elif t == 0x0E:  # NUMBER cell
-            _, col, row = struct.unpack("<BHH", body[:5])
+            _, row, col = struct.unpack("<BHH", body[:5])
             (v,) = struct.unpack("<d", body[5:13])
             cells[(row, col)] = v
     n = max(nrows, ncols)
@@ -528,7 +532,7 @@ def write_wk1(g: Graph, path: str) -> None:
     for r in range(n):
         for c in range(n):
             out.append(
-                rec(0x0E, struct.pack("<BHH", 0xFF, c, r) + struct.pack("<d", dense[r, c]))
+                rec(0x0E, struct.pack("<BHH", 0xFF, r, c) + struct.pack("<d", dense[r, c]))
             )
     out.append(rec(0x01, b""))
     with open(path, "wb") as f:

@@ -35,7 +35,7 @@ def cell_graph(
     Chebyshev ring <= order. weight: 'binary' | 'distance' (ring index) |
     'inverse' (1/ring index) — mirroring graph/base.py:1599-1660.
     """
-    cells = occupied_cells(points, size).persist()  # pinned per-Graph below
+    cells = occupied_cells(points, size).localCheckpoint(eager=False)  # reused by probes + ids
     offs = F.expr(
         f"flatten(transform(sequence(-{order}, {order}, 1), dx -> "
         f"transform(sequence(-{order}, {order}, 1), dy -> struct(dx, dy))))"
@@ -63,7 +63,5 @@ def cell_graph(
     else:
         raise ValueError(weight)
     edges = hits.select("focal", "neighbor", w.alias("weight"))
-    from libpysal_spark.graph import pin_for
-
-    out = pin_for(resolve_isolates(edges, cells.select(F.col("cell").alias("id"))), cells)
+    out = resolve_isolates(edges, cells.select(F.col("cell").alias("id")))
     return Graph(out)

@@ -297,9 +297,11 @@ def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
         .select("focal", "neighbor", "va", "vb")
         .distinct()
         # consumed by BOTH the segment-crossing and containment branches —
-        # persist once, pinned to the returned Graph's lifetime (pin_for
-        # below), instead of running the candidate join twice
-        .persist()
+        # a lazy local checkpoint materializes the candidate join once; the
+        # context cleaner reclaims it when the plans are dropped (r6: the
+        # former Graph-lifetime persist pin evaporated before first use in
+        # the Graph(...).edges pattern)
+        .localCheckpoint(eager=False)
     )
 
     def segs(col, out_prefix):
@@ -363,9 +365,7 @@ def fuzzy_contiguity(polygons: DataFrame, cell_size: float) -> Graph:
     pairs = half.unionByName(
         half.select(F.col("neighbor").alias("focal"), F.col("focal").alias("neighbor"))
     ).withColumn("weight", F.lit(1.0))
-    from libpysal_spark.graph import pin_for
-
-    return Graph(pin_for(resolve_isolates(pairs, polygons.select("id")), cand))
+    return Graph(resolve_isolates(pairs, polygons.select("id")))
 
 
 def _ring_contains(pt_x, pt_y, ring) -> F.Column:

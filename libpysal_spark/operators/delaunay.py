@@ -1232,19 +1232,41 @@ def _alpha_auto_distributed(tris: DataFrame, n: int, n_cand: int = 33):
         return out
 
     T, V, E = cum(tri_h), cum(vert_h), cum(edge_h)
-    chosen_idx = K - 1  # loosest cut is the unconditional fallback
+    # contiguous cheap-valid prefix [lo_cheap .. K-1] is free (histograms);
+    # the expensive single-polygon check (a distributed component run per
+    # probe) is BINARY-SEARCHED inside it: O(log K) component runs instead
+    # of one per candidate. If connectivity is non-contiguous inside the
+    # cheap prefix (possible only when a disconnected complex ALSO has a
+    # compensating hole, since Euler == 1 is already enforced), the search
+    # still lands on a verified-valid candidate — the coarsening this scale
+    # path documents.
+    lo_cheap = K
     for i in range(K - 1, -1, -1):
-        cheap = (V[i] == n) and (V[i] - E[i] + T[i] == 1) and T[i] > 0
-        if cheap:
-            comps = _n_components_of_edges(
+        if (V[i] == n) and (V[i] - E[i] + T[i] == 1) and T[i] > 0:
+            lo_cheap = i
+        else:
+            break
+
+    def connected(i: int) -> bool:
+        return (
+            _n_components_of_edges(
                 edge_min.filter(F.col("m") <= i).select(
                     F.col("e.u").alias("focal"), F.col("e.w").alias("neighbor")
                 )
             )
-            if comps == 1:
-                chosen_idx = i
-                continue
-        break
+            == 1
+        )
+
+    chosen_idx = K - 1  # loosest cut is the unconditional fallback
+    if lo_cheap <= K - 1 and connected(K - 1):
+        lo, hi = lo_cheap, K - 1  # hi verified valid; search tightest valid
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if connected(mid):
+                hi = mid
+            else:
+                lo = mid + 1
+        chosen_idx = hi
     c_star = cuts[chosen_idx]
     alpha = 1.0 / c_star
     kept = tris.filter(rcol < F.lit(c_star))

@@ -69,8 +69,11 @@ def candidate_pairs(
     s = float(cell_size or radius)
     # ring count r such that r*s >= radius (ceil)
     r = max(1, int(-(-radius // s)))
+    # min_bytes_per_task=2048: the band join's work is quadratic in local
+    # density, so even a tiny point table (the supplier fixtures) deserves a
+    # full spread — bytes understate compute here.
     tagged = with_cells(
-        ensure_min_parallelism(points.select(*POINT_COLS)), s
+        ensure_min_parallelism(points.select(*POINT_COLS), min_bytes_per_task=2048), s
     )
     right = tagged.select(
         F.col("id").alias("neighbor"),
@@ -189,7 +192,10 @@ def knn(
     edges = knn_table(points, k, cell_size, initial_ring, max_rounds, p).select(
         "focal", "neighbor"
     ).withColumn("weight", F.lit(1.0))
-    return Graph(resolve_isolates(edges, points.select("id")))
+    # persist=False: the kNN table is already checkpoint-backed per round —
+    # re-reading those blocks for the isolate anti-join is cheaper than
+    # materializing a second copy of the edge list
+    return Graph(resolve_isolates(edges, points.select("id"), persist=False))
 
 
 #: Diagnostics of the most recent knn_table build — {"rounds", "residue",

@@ -205,6 +205,32 @@ def _ear_clip(ring: "np.ndarray") -> list:
     if len(pts) >= 3:
         for k in range(1, len(pts) - 1):
             tris.append(np.array([ring[pts[0]], ring[pts[k]], ring[pts[k + 1]]]))
+    # partition validation (ADVICE r5): a correct decomposition tiles the
+    # ring, so Σ|triangle| == |shoelace(ring)|. The no-ear fallback's fan
+    # can overlap itself on a degenerate/near-non-simple remainder, which
+    # would silently overstate intersection areas downstream — make it loud.
+    ring_area = 0.0
+    for i in range(len(ring)):
+        j = (i + 1) % len(ring)
+        ring_area += ring[i][0] * ring[j][1] - ring[j][0] * ring[i][1]
+    ring_area = abs(ring_area) / 2.0
+    tri_area = sum(
+        abs(
+            (t[1][0] - t[0][0]) * (t[2][1] - t[0][1])
+            - (t[1][1] - t[0][1]) * (t[2][0] - t[0][0])
+        )
+        / 2.0
+        for t in tris
+    )
+    if ring_area > 0 and abs(tri_area - ring_area) > 1e-9 * max(ring_area, 1.0):
+        import warnings
+
+        warnings.warn(
+            f"ear-clip decomposition does not tile the ring (sum of triangle "
+            f"areas {tri_area!r} vs ring area {ring_area!r}) — input is "
+            "degenerate or non-simple; downstream overlay areas for this "
+            "polygon are unreliable"
+        )
     return tris
 
 

@@ -34,7 +34,9 @@ _PACK_MASK = (1 << _PACK_BITS) - 1
 _PAR_DECISIONS: dict = {}
 
 
-def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_min_parallelism(
+    df: DataFrame, target: int | None = None, min_bytes_per_task: int = 65536
+) -> DataFrame:
     """Round-robin repartition iff the plan reads a SMALL file set — a
     parallelism floor for compute-heavy operators (guide §2.6 idle capacity /
     §6 input splits).
@@ -54,6 +56,13 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     intermediates, object stores) the plan is left untouched — those
     sources already carry their producer's parallelism.
 
+    The fan-out is PROPORTIONAL to input bytes (one task per
+    ``min_bytes_per_task`` of source, capped at the core count) and skipped
+    entirely below 8 tasks' worth — for truly tiny inputs the exchange's
+    stage-scheduling cost exceeds any parallel-compute win. Operators whose
+    per-byte compute is super-linear (the candidate self-joins) pass a
+    smaller ``min_bytes_per_task`` to force a wider spread.
+
     Scale-adaptive by construction: at production scale the scan has more
     files than cores (or more bytes than cores x maxPartitionBytes), the
     branch is not taken, and the plan is untouched — this is a FLOOR, not a
@@ -67,9 +76,9 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
         return df
     if not files or len(files) >= t:
         return df
-    key = (tuple(sorted(files)), t)
-    dec = _PAR_DECISIONS.get(key)
-    if dec is None:
+    key = (tuple(sorted(files)), t, int(min_bytes_per_task))
+    parts = _PAR_DECISIONS.get(key)
+    if parts is None:
         import os
         from urllib.parse import urlparse
 
@@ -80,13 +89,17 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
                 total += os.path.getsize(p)
             except OSError:
                 # non-local filesystem: no cheap stat; leave the plan alone
-                _PAR_DECISIONS[key] = False
+                _PAR_DECISIONS[key] = 0
                 return df
-        # fewer bytes than cores x maxPartitionBytes-ish means the scan
-        # cannot fan out to >= t compute-bearing splits
-        dec = total < t * 4 * 1024 * 1024
-        _PAR_DECISIONS[key] = dec
-    return df.repartition(t) if dec else df
+        if total >= t * 4 * 1024 * 1024:
+            # enough bytes for the scan to fan out on its own
+            parts = 0
+        else:
+            parts = min(t, int(total // min_bytes_per_task) or 1)
+            if parts < 8:
+                parts = 0
+        _PAR_DECISIONS[key] = parts
+    return df.repartition(parts) if parts else df
 
 
 def cell_coord(coord: Column | str, size: float) -> Column:

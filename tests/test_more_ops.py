@@ -540,3 +540,74 @@ def test_sqlite_geometry_roundtrip_and_queen(spark, tmp_path):
     assert parse_wkb(le) == [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]
     be_point = struct.pack(">BI2d", 0, 1, 2.5, -3.5)
     assert parse_wkb(be_point) == [[(2.5, -3.5)]]
+
+
+def test_wk1_asymmetric_row_column_order(spark, tmp_path):
+    """ADVICE r5 (medium): WK1 cell records are (format, ROW, COLUMN) in the
+    reference handler (io/iohandlers/wk1.py:232) — an asymmetric matrix must
+    survive a write->read round trip UNtransposed, and the bytes must carry
+    row-first indices so reference-written files interoperate."""
+    import struct
+
+    from libpysal_spark.graph import Graph, resolve_isolates
+    from libpysal_spark.io.weights_io import read_wk1, write_wk1
+
+    # asymmetric: 0->1 (w=2) but NOT 1->0; 2 isolate
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 5.0)], "focal long, neighbor long, weight double"
+    )
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    g = Graph(resolve_isolates(e, ids))
+    p = str(tmp_path / "asym.wk1")
+    write_wk1(g, p)
+
+    def edge_set(gr):
+        return {
+            (r.focal, r.neighbor, r.weight)
+            for r in gr.edges.collect()
+            if not (r.focal == r.neighbor and r.weight == 0.0)
+        }
+
+    assert edge_set(read_wk1(spark, p)) == {(0, 1, 2.0), (1, 2, 5.0)}
+
+    # byte-level pin: the NUMBER record for value 2.0 carries (row=0, col=1)
+    data = open(p, "rb").read()
+    pos, found = 0, None
+    while pos + 4 <= len(data):
+        t, ln = struct.unpack("<HH", data[pos : pos + 4])
+        body = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if t == 0x0E:
+            _, first, second = struct.unpack("<BHH", body[:5])
+            (v,) = struct.unpack("<d", body[5:13])
+            if v == 2.0:
+                found = (first, second)
+    assert found == (0, 1)  # row-first, reference order
+
+
+def test_parse_wkb_ewkb_srid_and_zm_handling():
+    """ADVICE r5: EWKB SRID flag means 4 SRID bytes after the type word —
+    they must be skipped, not read as a ring count; Z/M variants raise a
+    clear error instead of misparsing coordinates."""
+    import struct
+
+    import pytest
+
+    from libpysal_spark.io.geometry_io import parse_wkb
+
+    # EWKB point with SRID flag (0x20000000) + srid 4326
+    ewkb_pt = struct.pack("<BIi2d", 1, 1 | 0x20000000, 4326, 3.0, 4.0)
+    assert parse_wkb(ewkb_pt) == [[(3.0, 4.0)]]
+
+    # EWKB polygon with SRID flag: 1 ring, 4 points
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
+    body = struct.pack("<I", 4) + struct.pack("<8d", *[c for p in ring for c in p])
+    ewkb_poly = struct.pack("<BIiI", 1, 3 | 0x20000000, 4326, 1) + body
+    assert parse_wkb(ewkb_poly) == [ring]
+
+    # EWKB Z flag -> loud error
+    with pytest.raises(ValueError, match="Z/M"):
+        parse_wkb(struct.pack("<BI3d", 1, 1 | 0x80000000, 1.0, 2.0, 3.0))
+    # ISO WKB PointZ (1001) -> loud error
+    with pytest.raises(ValueError, match="Z/M"):
+        parse_wkb(struct.pack("<BI3d", 1, 1001, 1.0, 2.0, 3.0))
