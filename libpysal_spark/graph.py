@@ -1089,7 +1089,50 @@ class Graph:
         b = _real_edges(other.edges).select("focal", "neighbor")
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
-    def component_labels(self, max_iters: int = 60) -> DataFrame:
+    def _cc_driver_roots(self, e: DataFrame) -> DataFrame:
+        """(id, component) for every node of the (small) edge set ``e`` —
+        vectorized hash-min with pointer jumping over numpy index arrays.
+
+        ``np.unique`` sorts ascending, so the minimum *index* in a component
+        is the minimum *id* — identical labels to the alternating-star path.
+        Each sweep is O(E) vectorized work and the label vector is monotone
+        non-increasing, so the loop terminates; sweeps needed ~ O(log n)
+        (pointer jumping halves label-chain depth every pass).
+        """
+        import numpy as np
+
+        pdf = e.toPandas()
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u) :]
+        lab = np.arange(len(nodes))
+        while True:
+            old = lab
+            m = np.minimum(lab[ui], lab[vi])
+            lab = lab.copy()
+            np.minimum.at(lab, ui, m)
+            np.minimum.at(lab, vi, m)
+            nl = lab[lab]
+            while not np.array_equal(nl, lab):
+                lab, nl = nl, nl[nl]
+            if np.array_equal(lab, old):
+                break
+        import pandas as pd
+
+        out = pd.DataFrame({"id": nodes, "component": nodes[lab]})
+        spark = e.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        utype = e.schema["u"].dataType
+        schema = StructType(
+            [StructField("id", utype), StructField("component", utype)]
+        )
+        return spark.createDataFrame(out, schema=schema)
+
+    def component_labels(
+        self, max_iters: int = 60, driver_cap: int | None = None
+    ) -> DataFrame:
         """(id, component) — connected components of the undirected pattern.
 
         Reference: scipy connected_components (weights/weights.py:549-569,
@@ -1100,6 +1143,20 @@ class Graph:
         shrinking edge set, lineage cut by localCheckpoint (on a cluster: a
         checkpoint to storage — the resume point). Deterministic: labels are
         component-min node ids.
+
+        r6 — broadcast-scale gate (guide §3.1 analogue): the round loop costs
+        ~3 exchanges + 1 driver-synchronous job PER ROUND regardless of data
+        size, so when the deduped integer edge list is no bigger than a
+        broadcast relation (``driver_cap`` rows, default 4M ≈ 64 MB of keys —
+        env ``SPARK_GRAFT_CC_DRIVER_EDGES``) it is collected ONCE (Arrow) and
+        labeled with a vectorized numpy hash-min / pointer-jumping sweep —
+        the exact same min-id-per-component labels, recomputed from the
+        inputs on every call (nothing is memoized). Above the cap — any
+        corpus-scale graph — the alternating-star plan runs unchanged
+        (rehearsed at 100x: 1.5M pts, 11 rounds). This is the same
+        scale-adaptive pattern as a broadcast join or alpha_shape_auto's
+        ``max_driver_tris``: the driver does bounded, size-gated work, never
+        O(data) at scale.
         """
 
         def star(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
@@ -1165,6 +1222,31 @@ class Graph:
             .localCheckpoint(eager=False)
         )
         prev = _sig(e)
+
+        if driver_cap is None:
+            import os
+
+            driver_cap = int(
+                os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "4000000")
+            )
+        int_ids = dict(e.dtypes).get("u") in ("tinyint", "smallint", "int", "bigint")
+        if int_ids and 0 < prev[0] <= driver_cap:
+            roots = self._cc_driver_roots(e)
+            global last_components_info
+            last_components_info = {
+                "rounds": 0,
+                "max_iters": max_iters,
+                "driver_path": True,
+                "edges": int(prev[0]),
+            }
+            return (
+                self._ids()
+                .join(roots, "id", "left")
+                .select(
+                    "id", F.coalesce("component", F.col("id")).alias("component")
+                )
+            )
+
         rounds = 0
         for _ in range(max_iters):
             rounds += 1
@@ -1189,7 +1271,6 @@ class Graph:
                 e.unpersist()
                 e = e2
             prev = cur
-        global last_components_info
         last_components_info = {"rounds": rounds, "max_iters": max_iters}
         # converged edge set is a union of stars (child -> root)
         roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))

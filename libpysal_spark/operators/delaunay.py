@@ -923,11 +923,16 @@ def delaunay_triangles(
         udf = _make_cell_tri_udf_v2(
             pvals, cps, None if not verify_halo else halo_local, hull_ring
         )
+        # LAZY checkpoint (r6): the next action — the open-count in the
+        # verify loop, or the final union/dedup when verify_halo is off —
+        # materializes the per-cell pass in the SAME job; eager cost one
+        # extra driver-synchronous job per round. All later consumers
+        # (cands filter, emitted union) read the same stored blocks.
         return (
             tg.repartition(cps * cps, "cell")
             .groupBy("cell")
             .applyInPandas(udf, V2_SCHEMA)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     # above this many open points the witness candidate set would be too

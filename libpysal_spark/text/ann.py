@@ -171,25 +171,23 @@ def cosine_threshold_pairs(
         return pd.DataFrame({"doc_a": lo_id.astype("int64"), "doc_b": hi_id.astype("int64")})
 
     cand = both.groupBy("bi", "bj").applyInPandas(score, "doc_a long, doc_b long")
-    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a"))
-    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b"))
+    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a")).withColumn(
+        "__na", _norm("__a")
+    )
+    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b")).withColumn(
+        "__nb", _norm("__b")
+    )
     return (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
-        .withColumn("cosine", F.round(_cosine("__a", "__b"), 6))
+        .withColumn("cosine", F.round(_cosine_prenormed("__a", "__b", "__na", "__nb"), 6))
         .filter(F.col("cosine") > F.lit(float(threshold)))
         .select("doc_a", "doc_b", "cosine")
     )
 
 
-def srp_buckets(
-    vectors: DataFrame,
-    num_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 7,
-) -> DataFrame:
-    """(vec_id, bucket) sign-random-projection LSH bucket.
+def _srp_bucket_col(vec_col: str, num_planes: int, seed: int) -> F.Column:
+    """The SRP bucket as a pure column expression over ``vec_col``.
 
     Plane p's component for dimension d is a deterministic pseudo-uniform in
     [-1, 1): derived from multiplicative hashing of (seed, p, d). Fully
@@ -214,7 +212,7 @@ def srp_buckets(
         ),
     )
     # 2^i via double pow is exact for i < 53 — avoids column-shift limitations
-    bucket = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             planes,
             F.sequence(F.lit(0), F.lit(num_planes - 1)),
@@ -225,7 +223,44 @@ def srp_buckets(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def srp_buckets(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(vec_id, bucket) sign-random-projection LSH bucket (see
+    :func:`_srp_bucket_col`)."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _srp_bucket_col(vec_col, num_planes, seed).alias("bucket"),
+    )
+
+
+def srp_buckets_multi(
+    vectors: DataFrame,
+    num_planes: int,
+    id_col: str,
+    vec_col: str,
+    seeds: list[int],
+) -> DataFrame:
+    """(vec_id, tbl, bucket) for every table seed in ONE pass over the
+    vectors — explode an inline array of (tbl, bucket) structs instead of
+    unioning one scan per table (r6; same single-pass shape as
+    ``lsh_bands``). Row multiset identical to the per-table union."""
+    entries = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _srp_bucket_col(vec_col, num_planes, seed).alias("bucket"),
+        )
+        for t, seed in enumerate(seeds)
+    ]
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*entries)).alias("__tb")
+    ).select("vec_id", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
 
 
 def ivf_topk(
@@ -256,13 +291,15 @@ def ivf_topk(
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cent = F.broadcast(
         centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__ct"))
+        .withColumn("__ctn", _norm("__ct"))
     )
 
     def nearest(df: DataFrame, role: str, n: int) -> DataFrame:
         scored = (
             df.select(F.col(id_col).alias(role), F.col(vec_col).alias("__v"))
+            .withColumn("__vn", _norm("__v"))
             .crossJoin(cent)
-            .withColumn("__sim", F.round(_cosine("__v", "__ct"), 6))
+            .withColumn("__sim", F.round(_cosine_prenormed("__v", "__ct", "__vn", "__ctn"), 6))
         )
         w = Window.partitionBy(role).orderBy(F.col("__sim").desc(), F.col("cid"))
         return (
@@ -281,10 +318,13 @@ def ivf_topk(
     )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__qn", _norm("__qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")).withColumn(
+        "__cn", _norm("__cv")
+    )
     scored = cand.join(q, "query_id").join(c, "neighbor_id").withColumn(
-        "cosine", F.round(_cosine("__qv", "__cv"), 6)
+        "cosine", F.round(_cosine_prenormed("__qv", "__cv", "__qn", "__cn"), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -425,10 +465,13 @@ def ivf_topk_kmeans(
     )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__quv"))
+        .withColumn("__qn", _norm("__quv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")).withColumn(
+        "__cn", _norm("__cv")
+    )
     scored = cand.join(q, "query_id").join(c, "neighbor_id").withColumn(
-        "cosine", F.round(_cosine("__quv", "__cv"), 6)
+        "cosine", F.round(_cosine_prenormed("__quv", "__cv", "__qn", "__cn"), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -471,14 +514,10 @@ def srp_threshold_pairs(
     """
 
     def tagged(role: str) -> DataFrame:
-        parts = []
-        for t in range(num_tables):
-            b = srp_buckets(vectors, num_planes, id_col, vec_col, seed=seed + 101 * t)
-            parts.append(b.withColumn("tbl", F.lit(t)))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.withColumnRenamed("vec_id", role)
+        return srp_buckets_multi(
+            vectors, num_planes, id_col, vec_col,
+            [seed + 101 * t for t in range(num_tables)],
+        ).withColumnRenamed("vec_id", role)
 
     cand = (
         tagged("doc_a")
@@ -487,12 +526,16 @@ def srp_threshold_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a"))
-    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b"))
+    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a")).withColumn(
+        "__na", _norm("__a")
+    )
+    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b")).withColumn(
+        "__nb", _norm("__b")
+    )
     return (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
-        .withColumn("cosine", F.round(_cosine("__a", "__b"), 6))
+        .withColumn("cosine", F.round(_cosine_prenormed("__a", "__b", "__na", "__nb"), 6))
         .filter(F.col("cosine") > F.lit(float(threshold)))
         .select("doc_a", "doc_b", "cosine")
     )
@@ -517,14 +560,10 @@ def ann_topk_lsh(
     """
 
     def tagged(df: DataFrame, role: str) -> DataFrame:
-        parts = []
-        for t in range(num_tables):
-            b = srp_buckets(df, num_planes, id_col, vec_col, seed=7 + 101 * t)
-            parts.append(b.withColumn("tbl", F.lit(t)))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.withColumnRenamed("vec_id", role)
+        return srp_buckets_multi(
+            df, num_planes, id_col, vec_col,
+            [7 + 101 * t for t in range(num_tables)],
+        ).withColumnRenamed("vec_id", role)
 
     cb = tagged(corpus, "neighbor_id")
     qb = tagged(queries, "query_id")
@@ -536,10 +575,13 @@ def ann_topk_lsh(
     )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__qn", _norm("__qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")).withColumn(
+        "__cn", _norm("__cv")
+    )
     scored = cand.join(q, "query_id").join(c, "neighbor_id").withColumn(
-        "cosine", F.round(_cosine("__qv", "__cv"), 6)
+        "cosine", F.round(_cosine_prenormed("__qv", "__cv", "__qn", "__cn"), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

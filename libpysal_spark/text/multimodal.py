@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from libpysal_spark.tiling import ensure_min_parallelism
+
 MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"\x89PNG": "png",
@@ -93,7 +95,12 @@ def decode_image(
                 rows, columns=["url", "media_bytes", "width", "height", "feature"]
             )
 
-    return df.select(url_col, payload_col).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+    # floor (r6): a single-row-group media file otherwise decodes on ONE
+    # core — the classic heavy-UDF case (guide §4/§2.6); at scale the scan
+    # has enough splits and the probe is a no-op.
+    return ensure_min_parallelism(df.select(url_col, payload_col)).mapInPandas(
+        batches, IMAGE_FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "url string, frame_idx int, frame_bytes long"
@@ -123,4 +130,6 @@ def sample_frames(
                     rows.append((url, i, len(b) // max(n_frames, 1)))
             yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame_bytes"])
 
-    return df.select(url_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+    return ensure_min_parallelism(df.select(url_col, payload_col)).mapInPandas(
+        batches, FRAME_SCHEMA
+    )

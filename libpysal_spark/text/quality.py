@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from libpysal_spark.text.dedup import tokens
+from libpysal_spark.tiling import ensure_min_parallelism
 
 # tiny public stopword seeds per language (heuristic language-ID)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -34,7 +35,9 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Deterministic tie-break: lexicographically smallest language code.
     """
     scores = [(_marker_count(text_col, ws)).alias(f"score_{lg}") for lg, ws in LANG_MARKERS.items()]
-    df = docs.select(F.col(id_col).alias("doc_id"), *scores)
+    df = ensure_min_parallelism(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"), *scores
+    )
     pairs = F.array(
         *[
             F.struct((-F.col(f"score_{lg}")).alias("neg"), F.lit(lg).alias("lang"))
@@ -52,7 +55,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len)."""
     toks = tokens(text_col)
-    return docs.select(
+    return ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
@@ -74,7 +77,7 @@ def token_stats_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """
     ws = tokens(text_col)
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH)).cast("long")
-    return docs.select(
+    return ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.size(ws).cast("long").alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
@@ -106,7 +109,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         ),
         F.lit(1.0),
     )
-    return docs.select(
+    return ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         n_tok.cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
@@ -120,7 +123,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """(doc_id, fingerprint): md5 of the sorted distinct lowercase token set —
     the classic key-collision / OpenRefine fingerprint for fuzzy dedup."""
     toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
-    return docs.select(
+    return ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
     )

@@ -243,6 +243,36 @@ def test_components_and_clustering(spark):
     assert cl[0] == 1.0 and cl[3] == 0.0
 
 
+def test_component_labels_driver_gate_matches_distributed(spark):
+    """r6: the broadcast-scale driver path must produce byte-identical labels
+    to the alternating-star plan (both are min-id-per-component), and string
+    ids must bypass the gate (numpy string order is not guaranteed to match
+    Spark's)."""
+    import libpysal_spark.graph as G
+
+    # a chain (worst case for hash-min), a clique, and an isolate
+    nbrs = {i: [i + 1] for i in range(0, 40)}
+    nbrs[40] = []
+    nbrs.update({100: [101, 102], 101: [100, 102], 102: [100, 101], 999: []})
+    g = Graph.from_dicts(spark, nbrs)
+    drv = {r.id: r.component for r in g.component_labels(driver_cap=10**6).collect()}
+    assert G.last_components_info.get("driver_path") is True
+    dist = {r.id: r.component for r in g.component_labels(driver_cap=0).collect()}
+    assert "driver_path" not in G.last_components_info
+    assert drv == dist
+    assert drv[40] == 0 and drv[102] == 100 and drv[999] == 999
+
+    gs = Graph(
+        spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "a", 1.0), ("c", "c", 0.0)],
+            "focal string, neighbor string, weight double",
+        )
+    )
+    labs = {r.id: r.component for r in gs.component_labels(driver_cap=10**6).collect()}
+    assert "driver_path" not in G.last_components_info  # string ids -> star path
+    assert labs == {"a": "a", "b": "a", "c": "c"}
+
+
 def test_w_clip_and_remap(spark):
     a = Graph.from_dicts(spark, {0: [1, 2], 1: [0], 2: [0]})
     b = Graph.from_dicts(spark, {0: [1], 1: [0], 2: []})
