@@ -867,19 +867,27 @@ def delaunay_triangles(
     TRI_COLS = ["a", "b", "c", "ax", "ay", "bx", "by", "cx", "cy",
                 "ccx", "ccy", "r2"]
 
-    def build_round(open_local, halo_local, first):
+    def open_info(open_local) -> tuple:
+        """(n_open, home-cell set) of the open points — ONE small job that
+        also materializes ``open_local``'s lazy checkpoint (r6: the witness
+        loop uses this collect for both the open-count and build_round's
+        active-cell set, fusing two driver-synchronous jobs per round; the
+        open set is bounded by WITNESS_OPEN_CAP)."""
+        rows = (
+            pts.join(open_local, "id", "left_semi")
+            .select("id", home_cell.alias("c"))
+            .collect()
+        )
+        return len(rows), {r.c for r in rows}
+
+    def build_round(open_local, halo_local, first, act=None):
         """One distributed per-cell pass; returns the checkpointed output."""
         if first:
             pts_sub = pts
             active_set = None
         else:
-            act = {
-                r.c
-                for r in pts.join(open_local, "id", "left_semi")
-                .select(home_cell.alias("c"))
-                .distinct()
-                .collect()
-            }
+            if act is None:
+                act = open_info(open_local)[1]
             ship = set()
             for c in act:
                 cx_, cy_ = c // cps, c % cps
@@ -1084,11 +1092,14 @@ def delaunay_triangles(
             ref_ids = (
                 refuted.select(F.explode(F.array("a", "b", "c")).alias("id")).distinct()
             )
-            # lazy checkpoint: the count below materializes it in the same job
+            # lazy checkpoint: the fused open_info collect below materializes
+            # it in the same job AND returns the active-cell set the
+            # build_round at the loop bottom needs (r6: one driver job where
+            # count + a separate semi-join collect used to run)
             open_df = open_df.join(ref_ids, "id", "left_semi").localCheckpoint(
                 eager=False
             )
-            n_open = open_df.count()
+            n_open, act_cells = open_info(open_df)
             open_trace.append(n_open)
             witness_rounds += 1
             if n_open == 0:
@@ -1105,7 +1116,7 @@ def delaunay_triangles(
                 else witnesses.unionByName(new_w).distinct()
             ).localCheckpoint(eager=False)
             rounds += 1
-            out = build_round(open_df, halo, False)
+            out = build_round(open_df, halo, False, act=act_cells)
             emitted.append(out.filter(F.col("kind") == 0).select(*TRI_COLS))
             open_df = out.filter(F.col("kind") == 1).select(F.col("a").alias("id"))
     finally:

@@ -192,6 +192,13 @@ def knn(
     edges = knn_table(points, k, cell_size, initial_ring, max_rounds, p).select(
         "focal", "neighbor"
     ).withColumn("weight", F.lit(1.0))
+    # r6: with n >= 2 points every focal resolves with >= 1 neighbor (ring
+    # rounds guarantee >= k, the residue path row_numbers a non-empty cross
+    # join), so the isolate set is provably empty — skip the anti-join
+    # branch (an ids exchange + a 10x-edge-count distinct per action). The
+    # point count is already paid for by knn_table's stats pass.
+    if last_knn_info.get("n", 0) > 1:
+        return Graph(edges)
     # persist=False: the kNN table is already checkpoint-backed per round —
     # re-reading those blocks for the isolate anti-join is cheaper than
     # materializing a second copy of the edge list
@@ -251,6 +258,11 @@ def knn_table(
         import math
 
         cell_size = max(1.6 * math.sqrt((k + 1) / (math.pi * density)), 1e-9)
+
+    global last_knn_info
+    last_knn_info = {
+        "rounds": 0, "residue": n, "cell_size": float(cell_size), "n": int(n)
+    }
 
     all_pts = with_cells(pts, float(cell_size)).persist()
     right = all_pts.select(
@@ -376,11 +388,11 @@ def knn_table(
                 resolved.select(F.col("focal").alias("id")), "id", "left_anti"
             )
         r *= 2
-        global last_knn_info
         last_knn_info = {
             "rounds": round_no + 1,
             "residue": n_unresolved,
             "cell_size": float(cell_size),
+            "n": int(n),
         }
     all_pts.unpersist()
 

