@@ -1090,14 +1090,22 @@ class Graph:
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     def _cc_driver_roots(self, e: DataFrame) -> DataFrame:
-        """(id, component) for every node of the (small) edge set ``e`` —
-        vectorized hash-min with pointer jumping over numpy index arrays.
+        """(id, component) for every FOCAL node of the (small) edge set ``e``
+        — vectorized hash-min with pointer jumping over numpy index arrays.
 
         ``np.unique`` sorts ascending, so the minimum *index* in a component
         is the minimum *id* — identical labels to the alternating-star path.
         Each sweep is O(E) vectorized work and the label vector is monotone
         non-increasing, so the loop terminates; sweeps needed ~ O(log n)
         (pointer jumping halves label-chain depth every pass).
+
+        ``e`` may contain self-loop rows (the isolate encoding): they are
+        no-ops for the min-propagation and make the u side cover the full
+        focal universe, so the output IS the complete label table — no
+        join-back against a distinct-ids pass (r6 third pass: that join cost
+        a full exchange + distinct over the edge checkpoint, ~2 s at sf0.1).
+        A dangling neighbor-only id still propagates connectivity but gets no
+        label row, exactly like the old ``_ids()`` left-join semantics.
         """
         import numpy as np
 
@@ -1120,7 +1128,9 @@ class Graph:
                 break
         import pandas as pd
 
-        out = pd.DataFrame({"id": nodes, "component": nodes[lab]})
+        focal = np.zeros(len(nodes), dtype=bool)
+        focal[ui] = True
+        out = pd.DataFrame({"id": nodes[focal], "component": nodes[lab][focal]})
         spark = e.sparkSession
         from pyspark.sql.types import StructField, StructType
 
@@ -1214,10 +1224,17 @@ class Graph:
         # materializes the checkpoint in the SAME job — one driver-synchronous
         # job per round instead of two (eager checkpoint + sig). Lineage is
         # still cut at every round.
+        #
+        # r6 third pass: self-loop rows (the isolate encoding) are KEPT in
+        # the deduped set — they are no-ops for connectivity but make the u
+        # side cover the full focal universe, which lets the driver gate
+        # return labels straight from the numpy sweep with no join-back
+        # (the old ``_ids()`` left-join cost a second full exchange +
+        # distinct over the edge checkpoint). The distributed path filters
+        # them back out below (same checkpoint blocks, no recompute).
         e = (
-            _real_edges(self.edges)
+            self.edges
             .select(F.col("focal").alias("u"), F.col("neighbor").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=False)
         )
@@ -1239,14 +1256,15 @@ class Graph:
                 "driver_path": True,
                 "edges": int(prev[0]),
             }
-            return (
-                self._ids()
-                .join(roots, "id", "left")
-                .select(
-                    "id", F.coalesce("component", F.col("id")).alias("component")
-                )
-            )
+            return roots
 
+        # distributed path: drop the self-loop rows before the star loop — a
+        # narrow filter over the already-checkpointed blocks. ``prev`` was
+        # signed over the unfiltered set; a (astronomically unlikely)
+        # spurious first-round signature match is still caught by the exact
+        # exceptAll confirmation below, which compares against the FILTERED
+        # set.
+        e = e.filter(F.col("u") != F.col("v"))
         rounds = 0
         for _ in range(max_iters):
             rounds += 1

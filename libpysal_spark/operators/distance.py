@@ -253,11 +253,16 @@ def knn_table(
         area = max((stats.x1 - stats.x0) * (stats.y1 - stats.y0), 1e-12)
         density = max(n, 1) / area
         # E[kth-NN dist] ~ sqrt((k+1)/(pi*rho)); size the cell so the ring-1
-        # guarantee (r*s = s) covers ~1.6x that => ~99% of foci resolve in
-        # round one and later rounds touch only the sparse-region residue.
+        # guarantee (r*s = s) covers ~1.4x that — measured at sf0.1/k=10: the
+        # resolve rate holds to 99.9% down to 1.2x and only cliffs at ~1.1x
+        # (residue 59 @1.6x, 171 @1.4x, 33k @1.1x of 150k), while candidate
+        # rows scale with the cell AREA: 1.6->1.4 cuts the round-1 join
+        # volume 21% (4.22M->3.33M rows) for the same 2-round build (guide
+        # §2.3 shuffle fewer bytes). The residue lands on the cheap ring-2
+        # pass (25 probes x residue vs n candidates).
         import math
 
-        cell_size = max(1.6 * math.sqrt((k + 1) / (math.pi * density)), 1e-9)
+        cell_size = max(1.4 * math.sqrt((k + 1) / (math.pi * density)), 1e-9)
 
     global last_knn_info
     last_knn_info = {
