@@ -218,8 +218,16 @@ def knn_table(
     initial_ring: int = 1,
     max_rounds: int = 5,
     p: float = 2.0,
+    with_bw: bool = False,
 ) -> DataFrame:
     """(focal, neighbor, dist) k-nearest-neighbor table.
+
+    ``with_bw=True`` adds a ``__bw`` column — the focal's kth (max kept)
+    neighbor distance. It is read off the tail of the per-focal sorted
+    top-k array at explode time (r6 third pass), so callers that need the
+    per-point bandwidth (adaptive_kernel) get it WITHOUT re-shuffling and
+    re-sorting the n*k-row output through a window — the value is the same
+    double the window max produced.
 
     Reference: weights/distance.py:33-164 / graph/_kernel.py:264-369 (KDTree
     ``query(k=k+1)``). Distributed strategy — ring expansion:
@@ -377,11 +385,19 @@ def knn_table(
         # lazy checkpoint: the resolved-count below is a full scan and
         # materializes it in the same job (one job per round, not two)
         resolved = topk.filter(F.col("__ok"))
+        bw_cols = (
+            [F.element_at("__nn", -1).getField("dist").alias("__bw")]
+            if with_bw
+            else []
+        )
         resolved_parts.append(
-            resolved.select("focal", F.explode("__nn").alias("__e")).select(
+            resolved.select(
+                "focal", F.explode("__nn").alias("__e"), *bw_cols
+            ).select(
                 "focal",
                 F.col("__e.neighbor").alias("neighbor"),
                 F.col("__e.dist").alias("dist"),
+                *(["__bw"] if with_bw else []),
             )
         )
         # resolved focal count (a cheap agg on the checkpointed arrays)
@@ -420,10 +436,19 @@ def knn_table(
             "dist", _dist(p)
         )
         wnd = Window.partitionBy("focal").orderBy("dist", "neighbor")
+        kept = cand.withColumn("__rk", F.row_number().over(wnd)).filter(
+            F.col("__rk") <= k
+        )
+        if with_bw:
+            # residue is broadcast-tiny; a second keyed window over the kept
+            # rows shares the row_number window's partitioning
+            kept = kept.withColumn(
+                "__bw", F.max("dist").over(Window.partitionBy("focal"))
+            )
         resolved_parts.append(
-            cand.withColumn("__rk", F.row_number().over(wnd))
-            .filter(F.col("__rk") <= k)
-            .select("focal", "neighbor", "dist")
+            kept.select(
+                "focal", "neighbor", "dist", *(["__bw"] if with_bw else [])
+            )
         )
 
     if resolved_parts:
@@ -432,7 +457,9 @@ def knn_table(
             out = out.unionByName(part)
     else:
         out = points.sparkSession.createDataFrame(
-            [], "focal long, neighbor long, dist double"
+            [],
+            "focal long, neighbor long, dist double"
+            + (", __bw double" if with_bw else ""),
         )
     return out
 
@@ -453,20 +480,25 @@ def adaptive_kernel(
     bandwidth = own kth-NN distance.
 
     Candidates = the (k)-NN table itself (the reference evaluates the kernel
-    over the same kNN candidate structure); bandwidth is a window max —
-    no extra shuffle beyond the kNN build.
+    over the same kNN candidate structure); the adaptive bandwidth comes off
+    the tail of knn_table's per-focal sorted top-k array (``with_bw`` — r6
+    third pass), so no window/exchange is added to the kNN build at all.
     """
-    tbl = knn_table(points, k)
     if fixed:
+        tbl = knn_table(points, k)
         bw_row = tbl.agg(F.max("dist")).first()
         bw = float(bw_row[0]) * eps
         w = kernel_expr(kernel, F.col("dist"), F.lit(bw), taper=taper)
         edges = tbl.select("focal", "neighbor", w.alias("weight"))
     else:
-        wnd = Window.partitionBy("focal")
-        tbl = tbl.withColumn("__bw", F.max("dist").over(wnd))
+        tbl = knn_table(points, k, with_bw=True)
         w = kernel_expr(kernel, F.col("dist"), F.col("__bw"), taper=taper)
         edges = tbl.select("focal", "neighbor", w.alias("weight"))
+    # r6 third pass — same gate as knn(): with n >= 2 points every focal has
+    # >= 1 kNN row, so the isolate set is provably empty; skip the anti-join
+    # branch (an ids exchange + a distinct over the n*k-row table per action)
+    if last_knn_info.get("n", 0) > 1:
+        return Graph(edges)
     return Graph(resolve_isolates(edges, points.select("id")))
 
 
@@ -572,8 +604,17 @@ def unique_site_cliques(
     """
     if on_overflow not in ("raise", "sample"):
         raise ValueError(f"on_overflow must be 'raise' or 'sample', got {on_overflow!r}")
-    sites = points.groupBy("x", "y").agg(F.min("id").alias("site"))
-    members = points.join(sites, ["x", "y"]).select("id", "site", "x", "y")
+    # lazy checkpoints (r6 third pass): ``sites`` feeds the member join AND
+    # the site-kNN input; ``members`` feeds the two expansion sides, the
+    # clique self-join and the overflow ranking — without the cut each
+    # consumer re-runs the groupBy + join subtree
+    sites = points.groupBy("x", "y").agg(F.min("id").alias("site")).localCheckpoint(
+        eager=False
+    )
+    members = (
+        points.join(sites, ["x", "y"]).select("id", "site", "x", "y")
+        .localCheckpoint(eager=False)
+    )
 
     if max_clique is not None:
         wnd = Window.partitionBy("site").orderBy(
@@ -699,10 +740,11 @@ def attach_islands(g: Graph, points: DataFrame) -> Graph:
 
 
 def min_threshold_distance(points: DataFrame) -> float:
-    """Max over nodes of 1st-NN distance (reference: weights/util.py:1106-1144)."""
-    g = knn(points, 1)
-    e = g.edges.filter(~((F.col("focal") == F.col("neighbor")) & (F.col("weight") == 0.0)))
-    pf = points.select(F.col("id").alias("focal"), F.col("x").alias("x_f"), F.col("y").alias("y_f"))
-    pn = points.select(F.col("id").alias("neighbor"), F.col("x").alias("x_n"), F.col("y").alias("y_n"))
-    d = e.join(pf, "focal").join(pn, "neighbor").withColumn("dist", _dist())
-    return d.agg(F.max("dist")).first()[0]
+    """Max over nodes of 1st-NN distance (reference: weights/util.py:1106-1144).
+
+    r6 third pass: reads the distance straight off the 1-NN table instead of
+    rebuilding a Graph and re-joining the point table twice to recompute it —
+    the table's ``dist`` is the same ``_dist`` expression over the same
+    doubles, so the max is bit-identical (oracle-verified)."""
+    row = knn_table(points, 1).agg(F.max("dist")).first()
+    return row[0]

@@ -138,9 +138,16 @@ def minhash_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing >= 1 LSH band."""
+    # lazy checkpoint (r6 third pass): the candidate join consumes the band
+    # table TWICE (probe side + broadcast build side) and a broadcast side
+    # has no exchange the runtime could reuse — without the cut the whole
+    # signature pipeline (shingle explode + K min-hash aggs) runs twice per
+    # action (the executed plan showed 2 parquet scans, 0 ReusedExchange).
+    # Same pattern as resolve_isolates: first action materializes once, both
+    # sides read the stored blocks.
     band_tbl = lsh_bands(
         minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n), num_hashes, bands
-    )
+    ).localCheckpoint(eager=False)
     a = band_tbl.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
     b = band_tbl.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
     return (
@@ -165,12 +172,17 @@ def ngram_jaccard(
     ``max_df`` drops shingles present in more than that many docs (skew guard;
     exactness holds when max_df is None).
     """
+    # lazy checkpoint (r6 third pass): ``sh`` feeds the doc-size aggregate
+    # AND both sides of the inverted-index join (plus the max_df guard) —
+    # the executed plan ran the scan + shingle explode + distinct 4 times
+    # (0 ReusedExchange; the join builds a broadcast side). Cut once; every
+    # consumer reads the stored blocks.
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     if max_df is not None:
         keep = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
-        sh = sh.join(keep, "sh", "left_semi")
+        sh = sh.join(keep, "sh", "left_semi").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select("sh", F.col("doc_id").alias("doc_a"))
     b = sh.select("sh", F.col("doc_id").alias("doc_b"))
@@ -336,7 +348,12 @@ def simhash_near_pairs(
     Raises when the pigeonhole premise fails (blocks <= max_hamming): a pair
     could then differ in every block and be silently missed.
     """
-    blocks = simhash_blocks(sims, max_hamming, block_bits, bits)
+    # lazy checkpoint (r6 third pass): the block table feeds both sides of
+    # the pigeonhole join; without the cut the simhash pipeline (token x
+    # bit explode + two keyed aggregates) runs twice per action
+    blocks = simhash_blocks(sims, max_hamming, block_bits, bits).localCheckpoint(
+        eager=False
+    )
     a = blocks.select("blk", "blkval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = blocks.select("blk", "blkval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     return (
@@ -368,6 +385,10 @@ def dedup_clusters(
     """
     from libpysal_spark.graph import Graph
 
+    # lazy checkpoint (r6 third pass): the symmetrizing union reads ``pairs``
+    # twice — for generator-built pairs (e.g. minhash_candidates) that would
+    # re-run the whole candidate join per side
+    pairs = pairs.localCheckpoint(eager=False)
     e = (
         pairs.select(F.col("doc_a").alias("focal"), F.col("doc_b").alias("neighbor"))
         .unionByName(
