@@ -142,6 +142,14 @@ def resolve_isolates(edges: DataFrame, ids: DataFrame, persist: bool = True) -> 
             F.lit(0.0).alias("weight"),
         )
     )
+    if persist:
+        # r6 third pass: multi-consumer plans (transform D/V, describe, set
+        # ops) re-ran the anti-join + focal-distinct once PER consumer of
+        # .edges — the edge checkpoint covers the builder but not this
+        # branch. The isolate set is tiny (usually empty): checkpoint it so
+        # the distinct + anti-join run once per graph, ever. Materializes
+        # with the edge checkpoint in the first action.
+        isolates = isolates.localCheckpoint(eager=False)
     out = edges.select(*EDGE_COLS).unionByName(isolates)
     # the checkpoint hides the builder subtree from explain(); keep the
     # pre-checkpoint plan reachable for the plan-quality gates

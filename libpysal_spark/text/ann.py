@@ -122,11 +122,15 @@ def cosine_threshold_pairs(
     where MinHash/SimHash (text/dedup.py) take over at higher thresholds.
     """
     spark = vectors.sparkSession
+    # lazy checkpoint (r6 third pass): the tagged vector table feeds the two
+    # tile sides AND both rescore join sides — the executed plan scanned the
+    # vector source 4x per action; the cut stores (vid, vec, blk) once and
+    # every consumer reads the blocks
     e = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.pmod(F.col(id_col), F.lit(blocks)).cast("int").alias("blk"),
-    )
+    ).localCheckpoint(eager=False)
     tile_pairs = spark.createDataFrame(
         [(i, j) for i in range(blocks) for j in range(i, blocks)], "bi int, bj int"
     )
@@ -171,10 +175,10 @@ def cosine_threshold_pairs(
         return pd.DataFrame({"doc_a": lo_id.astype("int64"), "doc_b": hi_id.astype("int64")})
 
     cand = both.groupBy("bi", "bj").applyInPandas(score, "doc_a long, doc_b long")
-    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a")).withColumn(
+    va = e.select(F.col("vid").alias("doc_a"), F.col("vec").alias("__a")).withColumn(
         "__na", _norm("__a")
     )
-    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b")).withColumn(
+    vb = e.select(F.col("vid").alias("doc_b"), F.col("vec").alias("__b")).withColumn(
         "__nb", _norm("__b")
     )
     return (
@@ -287,6 +291,12 @@ def ivf_topk(
     SQL-oracle-checkable; production would plug a sampled k-means here (the
     list/probe machinery — the distributed part — is identical).
     """
+    # lazy checkpoints (r6 third pass): corpus feeds the default quantizer,
+    # the list assignment AND the rescore side; queries feed the probe
+    # assignment and the broadcast rescore side — cut each base projection
+    # once instead of re-scanning the source per consumer
+    corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    queries = queries.select(id_col, vec_col).localCheckpoint(eager=False)
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cent = F.broadcast(
@@ -417,6 +427,11 @@ def ivf_topk_kmeans(
     no Python, no shuffle), candidates equi-join on the centroid id, exact
     float-cosine rescore only on candidates.
     """
+    # lazy checkpoints (r6 third pass): same base-projection cut as ivf_topk
+    # (corpus: quantizer sample + list assignment + rescore; queries: probe
+    # assignment + rescore)
+    corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    queries = queries.select(id_col, vec_col).localCheckpoint(eager=False)
     cents = kmeans_centroids_int(
         corpus, n_centroids, sample_size, iters, seed, scale, id_col, vec_col
     )
@@ -513,23 +528,26 @@ def srp_threshold_pairs(
     exact operator exists alongside this one.
     """
 
-    def tagged(role: str) -> DataFrame:
-        return srp_buckets_multi(
-            vectors, num_planes, id_col, vec_col,
-            [seed + 101 * t for t in range(num_tables)],
-        ).withColumnRenamed("vec_id", role)
-
+    # lazy checkpoints (r6 third pass): the base projection feeds the bucket
+    # table and both rescore sides, and the bucket table feeds both join
+    # sides — without the cuts the executed plan scanned the vector source
+    # 4x and ran the bucket hashing twice per action
+    base = vectors.select(id_col, vec_col).localCheckpoint(eager=False)
+    buckets = srp_buckets_multi(
+        base, num_planes, id_col, vec_col,
+        [seed + 101 * t for t in range(num_tables)],
+    ).localCheckpoint(eager=False)
     cand = (
-        tagged("doc_a")
-        .join(tagged("doc_b"), ["tbl", "bucket"])
+        buckets.withColumnRenamed("vec_id", "doc_a")
+        .join(buckets.withColumnRenamed("vec_id", "doc_b"), ["tbl", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a")).withColumn(
+    va = base.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__a")).withColumn(
         "__na", _norm("__a")
     )
-    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b")).withColumn(
+    vb = base.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__b")).withColumn(
         "__nb", _norm("__b")
     )
     return (
@@ -558,6 +576,12 @@ def ann_topk_lsh(
     1 - (1 - p^b)^L. One shuffle per table on the (table, bucket) key; the
     exact rescoring only touches candidates, never the full corpus.
     """
+
+    # lazy checkpoints (r6 third pass): same base-projection cut as
+    # srp_threshold_pairs / ivf_topk — each source is scanned once, not once
+    # per consumer (bucket table + rescore side)
+    corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    queries = queries.select(id_col, vec_col).localCheckpoint(eager=False)
 
     def tagged(df: DataFrame, role: str) -> DataFrame:
         return srp_buckets_multi(
